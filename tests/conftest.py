@@ -1,0 +1,26 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; the JAX-native way to test sharded
+programs is `--xla_force_host_platform_device_count` (see SURVEY.md §4).  These env
+vars must be set before `import jax` anywhere in the test process.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
