@@ -1,0 +1,316 @@
+"""Stable-Diffusion-style conditional UNet, TPU-native.
+
+Architecture capability mirrors the reference (``stable_diffusion/model/unet.py:30-196``,
+``unet_attention.py:26-333``) but the implementation is JAX/flax designed for the MXU:
+
+- NHWC layout (B, time, pitch, C) — XLA's native conv layout on TPU;
+- compute dtype is configurable (bf16 for training); params, group/layer norms and
+  softmax stay float32 (the reference's GroupNorm32 fp32-cast, ``unet.py:321-327``);
+- attention is a single batched einsum pair per block (seq <= 1024 tokens at the
+  attention levels, so flash-style tiling is unnecessary; softmax in fp32);
+- everything is shape-static and trace-once under ``jax.jit``.
+
+Parameter tree structure intentionally mirrors the torch module tree one-to-one so
+``convert/torch_import.py`` can map checkpoints mechanically.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def timestep_embedding(
+    time_steps: jnp.ndarray, channels: int, max_period: int = 10000
+) -> jnp.ndarray:
+    """Sinusoidal embeddings, cos-first (reference ``unet.py:151-169``). Always fp32."""
+    half = channels // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = time_steps.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class FP32GroupNorm(nn.Module):
+    """GroupNorm computed in float32 regardless of the activation dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.epsilon, dtype=jnp.float32
+        )(x.astype(jnp.float32))
+        return y.astype(x.dtype)
+
+
+def _conv3x3(features: int, dtype, name: str, stride: int = 1) -> nn.Conv:
+    # Explicit (1, 1) padding matches torch Conv2d(padding=1) for stride 2 as well,
+    # where XLA 'SAME' would pick a different (0, 1) split.
+    return nn.Conv(
+        features,
+        (3, 3),
+        strides=(stride, stride),
+        padding=((1, 1), (1, 1)),
+        dtype=dtype,
+        name=name,
+    )
+
+
+class ResBlock(nn.Module):
+    """GN -> SiLU -> conv, +time-emb, GN -> SiLU -> conv, +skip (reference ``unet.py:262-318``)."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t_emb: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        h = FP32GroupNorm(name="in_norm")(x)
+        h = nn.silu(h)
+        h = _conv3x3(self.out_channels, self.dtype, "in_conv")(h)
+        emb = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(
+            nn.silu(t_emb)
+        )
+        h = h + emb[:, None, None, :].astype(h.dtype)
+        h = FP32GroupNorm(name="out_norm")(h)
+        h = nn.silu(h)
+        h = _conv3x3(self.out_channels, self.dtype, "out_conv")(h)
+        if c_in != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when ``cond`` is the sequence itself.
+
+    Matches reference ``unet_attention.py:127-293`` (einsum attention path); softmax is
+    fp32 for bf16 stability; the projections ride the MXU in the compute dtype.
+    """
+
+    n_heads: int
+    d_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        d_model = x.shape[-1]
+        d_attn = self.n_heads * self.d_head
+        q = nn.Dense(d_attn, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(d_attn, use_bias=False, dtype=self.dtype, name="to_k")(cond)
+        v = nn.Dense(d_attn, use_bias=False, dtype=self.dtype, name="to_v")(cond)
+
+        b, s, _ = q.shape
+        t = k.shape[1]
+        q = q.reshape(b, s, self.n_heads, self.d_head)
+        k = k.reshape(b, t, self.n_heads, self.d_head)
+        v = v.reshape(b, t, self.n_heads, self.d_head)
+
+        scale = self.d_head**-0.5
+        attn = jnp.einsum(
+            "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(attn.astype(jnp.float32) * scale, axis=-1)
+        out = jnp.einsum(
+            "bhij,bjhd->bihd",
+            attn.astype(self.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        out = out.reshape(b, s, d_attn)
+        return nn.Dense(d_model, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """GeGLU feed-forward (reference ``unet_attention.py:296-333``)."""
+
+    d_mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d_model = x.shape[-1]
+        proj = nn.Dense(d_model * self.d_mult * 2, dtype=self.dtype, name="geglu_proj")(x)
+        val, gate = jnp.split(proj, 2, axis=-1)
+        return nn.Dense(d_model, dtype=self.dtype, name="proj_out")(
+            val * nn.gelu(gate)
+        )
+
+
+class BasicTransformerBlock(nn.Module):
+    """pre-LN self-attn -> cross-attn -> GeGLU FF (reference ``unet_attention.py:89-124``)."""
+
+    n_heads: int
+    d_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x.astype(jnp.float32)).astype(
+            x.dtype
+        )
+        x = CrossAttention(self.n_heads, self.d_head, self.dtype, name="attn1")(h, h) + x
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x.astype(jnp.float32)).astype(
+            x.dtype
+        )
+        x = (
+            CrossAttention(self.n_heads, self.d_head, self.dtype, name="attn2")(
+                h, cond.astype(x.dtype)
+            )
+            + x
+        )
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x.astype(jnp.float32)).astype(
+            x.dtype
+        )
+        return FeedForward(dtype=self.dtype, name="ff")(h) + x
+
+
+class SpatialTransformer(nn.Module):
+    """GN -> 1x1 conv -> flatten HW -> transformer blocks -> 1x1 conv, +residual
+    (reference ``unet_attention.py:26-86``)."""
+
+    n_heads: int
+    n_layers: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x_in = x
+        x = FP32GroupNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, c)
+        for i in range(self.n_layers):
+            x = BasicTransformerBlock(
+                self.n_heads, c // self.n_heads, self.dtype, name=f"block_{i}"
+            )(x, cond)
+        x = x.reshape(b, h, w, c)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + x_in
+
+
+class DownSample(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return _conv3x3(x.shape[-1], self.dtype, "conv", stride=2)(x)
+
+
+class UpSample(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+        return _conv3x3(c, self.dtype, "conv")(x)
+
+
+class UNetModel(nn.Module):
+    """The epsilon-prediction UNet.
+
+    Inputs: ``x`` (B, H, W, in_channels) NHWC, ``time_steps`` (B,), ``cond``
+    (B, n_cond, d_cond).  Output: (B, H, W, out_channels) in fp32.
+    """
+
+    in_channels: int = 2
+    out_channels: int = 2
+    channels: int = 64
+    n_res_blocks: int = 2
+    attention_levels: Sequence[int] = (2, 3)
+    channel_multipliers: Sequence[int] = (1, 2, 4, 4)
+    n_heads: int = 4
+    tf_layers: int = 1
+    d_cond: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, time_steps: jnp.ndarray, cond: jnp.ndarray
+    ) -> jnp.ndarray:
+        levels = len(self.channel_multipliers)
+        d_time_emb = self.channels * 4
+
+        t_emb = timestep_embedding(time_steps, self.channels)
+        t_emb = nn.Dense(d_time_emb, dtype=self.dtype, name="time_embed_0")(
+            t_emb.astype(self.dtype)
+        )
+        t_emb = nn.Dense(d_time_emb, dtype=self.dtype, name="time_embed_2")(
+            nn.silu(t_emb)
+        )
+
+        x = x.astype(self.dtype)
+
+        # --- input half -----------------------------------------------------
+        skips = []
+        h = _conv3x3(self.channels, self.dtype, "input_blocks_0_0")(x)
+        skips.append(h)
+        block_idx = 1
+        channels_list = [self.channels * m for m in self.channel_multipliers]
+        for i in range(levels):
+            for _ in range(self.n_res_blocks):
+                h = ResBlock(
+                    channels_list[i], self.dtype, name=f"input_blocks_{block_idx}_0"
+                )(h, t_emb)
+                if i in self.attention_levels:
+                    h = SpatialTransformer(
+                        self.n_heads,
+                        self.tf_layers,
+                        self.dtype,
+                        name=f"input_blocks_{block_idx}_1",
+                    )(h, cond)
+                skips.append(h)
+                block_idx += 1
+            if i != levels - 1:
+                h = DownSample(self.dtype, name=f"input_blocks_{block_idx}_0")(h)
+                skips.append(h)
+                block_idx += 1
+
+        # --- middle -----------------------------------------------------------
+        h = ResBlock(h.shape[-1], self.dtype, name="middle_block_0")(h, t_emb)
+        h = SpatialTransformer(
+            self.n_heads, self.tf_layers, self.dtype, name="middle_block_1"
+        )(h, cond)
+        h = ResBlock(h.shape[-1], self.dtype, name="middle_block_2")(h, t_emb)
+
+        # --- output half ------------------------------------------------------
+        block_idx = 0
+        for i in reversed(range(levels)):
+            for j in range(self.n_res_blocks + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = ResBlock(
+                    channels_list[i], self.dtype, name=f"output_blocks_{block_idx}_0"
+                )(h, t_emb)
+                lidx = 1
+                if i in self.attention_levels:
+                    h = SpatialTransformer(
+                        self.n_heads,
+                        self.tf_layers,
+                        self.dtype,
+                        name=f"output_blocks_{block_idx}_{lidx}",
+                    )(h, cond)
+                    lidx += 1
+                if i != 0 and j == self.n_res_blocks:
+                    h = UpSample(self.dtype, name=f"output_blocks_{block_idx}_{lidx}")(h)
+                block_idx += 1
+
+        # --- head ---------------------------------------------------------------
+        h = FP32GroupNorm(name="out_norm")(h)
+        h = nn.silu(h)
+        h = _conv3x3(self.out_channels, self.dtype, "out_conv")(h)
+        return h.astype(jnp.float32)
+
+
+def nchw_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def nhwc_to_nchw(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(x, (0, 3, 1, 2))

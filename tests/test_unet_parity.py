@@ -1,0 +1,88 @@
+"""Numerical parity of the flax UNet vs the reference torch UNet (same weights)."""
+
+import numpy as np
+import pytest
+
+from reference_oracle import add_reference_path, reference_available, torch_state_to_numpy
+
+if not reference_available():
+    pytest.skip("torch/reference unavailable", allow_module_level=True)
+
+import torch  # noqa: E402
+
+add_reference_path()
+from stable_diffusion.model.unet import UNetModel as TorchUNet  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from polyffusion_tpu.convert import unet_params_from_torch  # noqa: E402
+from polyffusion_tpu.models.unet import UNetModel, timestep_embedding  # noqa: E402
+
+TINY = dict(
+    in_channels=2,
+    out_channels=2,
+    channels=32,
+    n_res_blocks=1,
+    attention_levels=[1],
+    channel_multipliers=[1, 2],
+    n_heads=2,
+    tf_layers=1,
+    d_cond=12,
+)
+
+
+def test_timestep_embedding_parity():
+    tm = TorchUNet(**TINY)
+    t = torch.arange(0, 1000, 37)
+    want = tm.time_step_embedding(t).numpy()
+    got = np.asarray(timestep_embedding(jnp.asarray(t.numpy()), 32))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_unet_forward_parity(seed):
+    torch.manual_seed(seed)
+    tm = TorchUNet(**TINY)
+    tm.eval()
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((2, 2, 16, 16), dtype=np.float32)
+    t = np.array([3, 977], dtype=np.int64)
+    cond = rng.standard_normal((2, 3, 12), dtype=np.float32)
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cond)).numpy()
+
+    params = unet_params_from_torch(torch_state_to_numpy(tm))
+    jm = UNetModel(**{**TINY, "attention_levels": (1,), "channel_multipliers": (1, 2)})
+    got_nhwc = jm.apply(
+        {"params": params},
+        jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        jnp.asarray(t),
+        jnp.asarray(cond),
+    )
+    got = np.transpose(np.asarray(got_nhwc), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_converted_tree_matches_init_structure():
+    """Converter output must be structurally identical to flax init (no silent misses)."""
+    torch.manual_seed(0)
+    tm = TorchUNet(**TINY)
+    params = unet_params_from_torch(torch_state_to_numpy(tm))
+    jm = UNetModel(**{**TINY, "attention_levels": (1,), "channel_multipliers": (1, 2)})
+    init = jm.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, 16, 2)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 3, 12)),
+    )["params"]
+
+    flat_init = jax.tree_util.tree_leaves_with_path(init)
+    flat_conv = {jax.tree_util.keystr(p): v for p, v in jax.tree_util.tree_leaves_with_path(params)}
+    assert len(flat_init) == len(flat_conv)
+    for path, leaf in flat_init:
+        key = jax.tree_util.keystr(path)
+        assert key in flat_conv, f"missing converted param {key}"
+        assert flat_conv[key].shape == leaf.shape, f"shape mismatch at {key}"
