@@ -26,3 +26,42 @@ def add_reference_path():
 
 def torch_state_to_numpy(module):
     return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def import_reference_samplers():
+    """Import the reference SDFSampler/DDIMSampler/LatentDiffusion with stub deps.
+
+    The reference modules import labml (progress meters), utils (pretty_midi-based
+    image dump) and — through the unused autoencoder path — torchvision; none of
+    these affect sampler numerics, so we stub them.
+    """
+    import types
+
+    add_reference_path()
+
+    if "labml" not in sys.modules:
+        monit = types.SimpleNamespace(
+            iterate=lambda name, it, *a, **k: it,
+            enum=lambda name, it, *a, **k: enumerate(it),
+        )
+        labml = types.ModuleType("labml")
+        labml.monit = monit
+        sys.modules["labml"] = labml
+        sys.modules["labml.monit"] = monit
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.SimpleNamespace(vgg16=None)
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+
+    if "utils" not in sys.modules or not hasattr(sys.modules["utils"], "show_image"):
+        u = types.ModuleType("utils")
+        u.show_image = lambda *a, **k: None
+        sys.modules["utils"] = u
+
+    from sampler_sdf import SDFSampler  # noqa: E402
+    from sampler_ddim import DDIMSampler  # noqa: E402
+    from stable_diffusion.latent_diffusion import LatentDiffusion  # noqa: E402
+
+    return LatentDiffusion, SDFSampler, DDIMSampler
