@@ -1,0 +1,163 @@
+"""Batch iteration with pitch-shift augmentation and async host->device feeding.
+
+Replaces the reference's torch DataLoader + collate_fn (``data/dataloader.py:25-137``):
+per-batch random pitch shift in [-6, 6), chord (32,14) -> one-hot (32,36); here with
+an additional background prefetch thread that overlaps host NumPy work and the
+device transfer (sharded over the ``dp`` mesh axis) with TPU compute —
+the TPU-native replacement for ``num_workers``/``pin_memory``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, NamedTuple, Optional
+
+import numpy as np
+
+from ..utils.reprs import (
+    chd_pitch_shift,
+    chd_to_onehot,
+    pianotree_pitch_shift,
+    pr_mat_pitch_shift,
+)
+from .dataset import SegmentDataset
+
+
+class Batch(NamedTuple):
+    """One training batch (host NumPy or device arrays)."""
+
+    prmat2c: np.ndarray  # (B, 2, 128, 128) float32
+    pnotree: np.ndarray  # (B, 128, 20, 6) int64
+    chord: np.ndarray  # (B, 32, 36) float32 one-hot
+    prmat: np.ndarray  # (B, 128, 128) float32
+
+
+def collate(samples, shift: int = 0) -> Batch:
+    """Stack segment tuples into a Batch, applying one pitch shift to all of them
+    (reference ``collate_fn``, ``data/dataloader.py:25-66``)."""
+    prmat2c, pnotree, chord, prmat = [], [], [], []
+    for p2c, pt, chd, pr in samples:
+        if shift:
+            p2c = pr_mat_pitch_shift(p2c, shift)
+            pt = pianotree_pitch_shift(pt, shift)
+            chd = chd_pitch_shift(chd, shift)
+            pr = pr_mat_pitch_shift(pr, shift)
+        prmat2c.append(p2c)
+        pnotree.append(pt)
+        chord.append(chd_to_onehot(chd))
+        prmat.append(pr)
+    return Batch(
+        np.array(prmat2c, np.float32),
+        np.array(pnotree, np.int64),
+        np.array(chord, np.float32),
+        np.array(prmat, np.float32),
+    )
+
+
+class BatchLoader:
+    """Shuffling epoch iterator over a SegmentDataset.
+
+    ``augment=True`` draws one pitch shift in [-6, 6) per batch (matching the
+    reference's per-batch augmentation).  ``drop_last=True`` keeps batch shapes
+    static for XLA (no recompiles).
+    """
+
+    def __init__(
+        self,
+        dataset: SegmentDataset,
+        batch_size: int,
+        *,
+        augment: bool = False,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.augment = augment
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        n_full = len(self) * self.batch_size if self.drop_last else len(order)
+        for start in range(0, n_full, self.batch_size):
+            idxs = order[start : start + self.batch_size]
+            shift = int(self._rng.choice(np.arange(-6, 6))) if self.augment else 0
+            yield collate([self.dataset[int(i)] for i in idxs], shift)
+
+
+class DeviceFeeder:
+    """Background-thread prefetcher that places batches on device, sharded.
+
+    Double-buffered: while the TPU runs step N, the host is already converting and
+    transferring batch N+1.
+    """
+
+    def __init__(self, loader, mesh=None, prefetch: int = 2):
+        self.loader = loader
+        self.mesh = mesh
+        self.prefetch = prefetch
+
+    def _place(self, batch: Batch):
+        if self.mesh is None:
+            return batch
+        from ..parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+        err: list = []
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(self._place(batch))
+            except Exception as e:  # surface loader errors on the consumer side
+                err.append(e)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+def make_loaders(
+    train_ds: SegmentDataset,
+    val_ds: SegmentDataset,
+    batch_size: int,
+    mesh=None,
+    seed: int = 0,
+    prefetch: int = 2,
+):
+    train = DeviceFeeder(
+        BatchLoader(train_ds, batch_size, augment=True, shuffle=True, seed=seed),
+        mesh,
+        prefetch,
+    )
+    val = DeviceFeeder(
+        BatchLoader(val_ds, batch_size, augment=False, shuffle=False, seed=seed),
+        mesh,
+        prefetch,
+    )
+    return train, val

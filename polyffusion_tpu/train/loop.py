@@ -1,0 +1,211 @@
+"""The training loop: run-directory lifecycle, epochs, validation, checkpointing.
+
+Feature parity with the reference runtime (``train/__init__.py``, ``learner.py``,
+``lightning_learner.py``):
+
+- run dir with persisted ``params.yaml`` + drift warning on resume;
+- top-k checkpoint retention on val loss + ``last`` for resume (orbax);
+- NaN-loss detection (raises, like ``lightning_learner.py:29-33``) — checked at
+  logging boundaries so the device pipeline stays async;
+- metrics to stdout + JSONL (``metrics.jsonl``); wandb is used when importable,
+  mirroring the reference's ``Polyff-{model}`` project naming.
+
+TPU-first mechanics: one jitted train step with donated state, background
+host->device feeding, params replicated over the ``dp`` mesh.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..config import Params, params_differ, save_params
+from .state import TrainState, create_state, make_optimizer, param_count
+from .step import make_eval_step, make_train_step
+
+
+class MetricsLogger:
+    def __init__(self, out_dir: str, model_name: str):
+        self.path = os.path.join(out_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.wandb = None
+        try:  # optional, reference uses project Polyff-{model} (train/__init__.py:93-97)
+            import wandb
+
+            self.wandb = wandb.init(project=f"Polyff-{model_name}", dir=out_dir)
+        except Exception:
+            self.wandb = None
+
+    def log(self, record: Dict):
+        self._f.write(json.dumps(record) + "\n")
+        self._f.flush()
+        if self.wandb is not None:
+            self.wandb.log(record)
+
+    def close(self):
+        self._f.close()
+
+
+class Trainer:
+    def __init__(
+        self,
+        task,
+        cfg: Params,
+        output_dir: str,
+        mesh=None,
+        param_scheduler=None,
+        max_steps: Optional[int] = None,
+        log_every: int = 100,
+        keep_checkpoints: int = 3,
+    ):
+        self.task = task
+        self.cfg = cfg
+        self.mesh = mesh
+        self.param_scheduler = param_scheduler
+        self.max_steps = max_steps
+        self.log_every = log_every
+
+        os.makedirs(output_dir, exist_ok=True)
+        self.output_dir = output_dir
+        self.ckpt_dir = os.path.join(output_dir, "chkpts")
+
+        params_path = os.path.join(output_dir, "params.yaml")
+        if os.path.exists(params_path):
+            import yaml
+
+            with open(params_path) as f:
+                old = yaml.safe_load(f)
+            for key, old_v, new_v in params_differ(old, cfg):
+                print(f"[params drift] {key}: saved={old_v!r} current={new_v!r}")
+        save_params(cfg, params_path)
+
+        self.optimizer = make_optimizer(cfg.learning_rate, cfg.get("max_grad_norm", 10.0))
+        sched_keys = param_scheduler.keys() if param_scheduler else ()
+        self.sched_keys = sched_keys
+        self.train_step = make_train_step(task, self.optimizer, mesh, sched_keys)
+        self.eval_step = make_eval_step(task, mesh, sched_keys)
+
+        self.manager = ocp.CheckpointManager(
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep_checkpoints,
+                best_fn=lambda m: m["val_loss"],
+                best_mode="min",
+                create=True,
+            ),
+        )
+        self.logger = MetricsLogger(output_dir, cfg.get("model_name", task.name))
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def save(self, state: TrainState, val_loss: float):
+        self.manager.save(
+            int(state.step),
+            args=ocp.args.StandardSave({"state": state}),
+            metrics={"val_loss": float(val_loss)},
+        )
+        self.manager.wait_until_finished()
+
+    def try_restore(self, state: TrainState) -> TrainState:
+        latest = self.manager.latest_step()
+        if latest is None:
+            return state
+        restored = self.manager.restore(
+            latest, args=ocp.args.StandardRestore({"state": state})
+        )
+        print(f"[resume] restored checkpoint at step {latest}")
+        return restored["state"]
+
+    # -- the loop ---------------------------------------------------------------
+
+    def fit(self, train_dl, val_dl, seed: int = 0, resume: bool = True):
+        rng = jax.random.PRNGKey(seed)
+        init_rng, step_rng = jax.random.split(rng)
+        params = self.task.init_params(init_rng)
+        print(f"[model] {param_count(params) / 1e6:.2f}M trainable params")
+        state = create_state(params, self.optimizer)
+        if resume:
+            state = self.try_restore(state)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated
+
+            state = jax.device_put(state, replicated(self.mesh))
+
+        max_epoch = int(self.cfg.get("max_epoch", 1))
+        start_step = int(state.step)
+        done = False
+        t_start = time.time()
+        window_t0, window_step0 = t_start, start_step
+
+        for epoch in range(max_epoch):
+            if done:
+                break
+            if self.param_scheduler:
+                self.param_scheduler.train()
+            for batch in train_dl:
+                step_i = int(state.step)
+                sched_vals = self._sched_vals(step_i)
+                state, metrics = self.train_step(state, tuple(batch), step_rng, sched_vals)
+                if (step_i + 1) % self.log_every == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    if not np.isfinite(metrics["loss"]):
+                        raise RuntimeError(f"non-finite loss at step {step_i}: {metrics}")
+                    now = time.time()
+                    sps = (int(state.step) - window_step0) / max(now - window_t0, 1e-9)
+                    window_t0, window_step0 = now, int(state.step)
+                    rec = {
+                        "step": step_i + 1,
+                        "epoch": epoch,
+                        "steps_per_sec": round(sps, 3),
+                        **{f"train/{k}": v for k, v in metrics.items()},
+                    }
+                    print(
+                        f"epoch {epoch} step {step_i + 1} "
+                        f"loss {metrics['loss']:.5f} ({sps:.2f} it/s)"
+                    )
+                    self.logger.log(rec)
+                if self.max_steps is not None and int(state.step) >= self.max_steps:
+                    done = True
+                    break
+
+            val_loss = self.validate(state, val_dl, epoch)
+            self.save(state, val_loss)
+
+        self.logger.close()
+        return state
+
+    def _sched_vals(self, step_i: int):
+        if not self.param_scheduler:
+            return ()
+        vals = self.param_scheduler.step(step_i)
+        return tuple(float(vals[k]) for k in self.sched_keys)
+
+    def validate(self, state: TrainState, val_dl, epoch: int) -> float:
+        if self.param_scheduler:
+            self.param_scheduler.eval()
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        agg: Dict[str, float] = {}
+        n = 0
+        for batch in val_dl:
+            metrics = self.eval_step(
+                state.params, tuple(batch), rng, self._sched_vals(int(state.step))
+            )
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            losses.append(float(metrics["loss"]))
+            n += 1
+        if n == 0:
+            return float("inf")
+        mean = {k: v / n for k, v in agg.items()}
+        print(f"epoch {epoch} val loss {mean['loss']:.5f}")
+        self.logger.log(
+            {"step": int(state.step), "epoch": epoch, **{f"val/{k}": v for k, v in mean.items()}}
+        )
+        return mean["loss"]

@@ -1,0 +1,73 @@
+"""Jitted train/eval steps with donated state and mesh shardings.
+
+One ``jax.jit`` per run: the loss, backward pass, gradient clip and Adam update are
+a single XLA program.  Under a ``dp`` mesh the batch enters sharded on its leading
+axis and parameters replicated; XLA inserts the gradient psum over ICI automatically
+from the output sharding constraint (params replicated).  The state buffers are
+donated, so parameters and optimizer state are updated in place in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..parallel.mesh import batch_sharding, replicated
+from .state import TrainState
+
+
+def make_train_step(task, optimizer, mesh=None, sched_keys=()):
+    """Build the jitted training step for a Task.
+
+    Returns ``step_fn(state, batch, rng, sched_vals) -> (state, metrics)`` where
+    ``sched_vals`` is a tuple of scalars matching ``sched_keys`` (e.g. teacher
+    forcing rates) so schedule changes don't retrigger compilation.
+    """
+
+    def step(state: TrainState, batch, rng, sched_vals):
+        sched_params = dict(zip(sched_keys, sched_vals))
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_of(params):
+            return task.loss_fn(params, batch, rng, sched_params)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: (p + u).astype(p.dtype), state.params, updates
+        )
+        metrics = dict(metrics)
+        metrics["grad_norm"] = jnp.sqrt(
+            sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree_util.tree_leaves(grads))
+        )
+        new_state = TrainState(state.step + 1, params, opt_state)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    bsh, rep = batch_sharding(mesh), replicated(mesh)
+    state_sh = rep  # params + opt state replicated
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(state_sh, bsh, rep, rep),
+        out_shardings=(state_sh, rep),
+    )
+
+
+def make_eval_step(task, mesh=None, sched_keys=()):
+    """Deterministic eval step: fixed rng stream, no CFG dropout randomness beyond it."""
+
+    def step(params, batch, rng, sched_vals):
+        sched_params = dict(zip(sched_keys, sched_vals))
+        loss, metrics = task.loss_fn(params, batch, rng, sched_params)
+        return dict(metrics)
+
+    if mesh is None:
+        return jax.jit(step)
+    bsh, rep = batch_sharding(mesh), replicated(mesh)
+    return jax.jit(step, in_shardings=(rep, bsh, rep, rep), out_shardings=rep)
