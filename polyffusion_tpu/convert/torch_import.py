@@ -125,6 +125,64 @@ def unet_params_from_torch(sd: StateDict) -> Dict:
     return tree
 
 
+def _conv_transpose(tree, path, sd, tk) -> None:
+    # torch ConvTranspose2d weight (in, out, kH, kW) -> flax ConvTranspose
+    # (transpose_kernel=True) kernel (kH, kW, out, in)
+    _set(
+        tree,
+        path + ("kernel",),
+        np.ascontiguousarray(np.transpose(sd[tk + ".weight"], (2, 3, 1, 0))),
+    )
+    _set(tree, path + ("bias",), sd[tk + ".bias"])
+
+
+def ddpm_unet_params_from_torch(sd: StateDict) -> Dict:
+    """Reference plain ``ddpm.unet.UNet`` state dict -> flax ``DDPMUNet`` params."""
+    tree: Dict = {}
+    _conv(tree, ("image_proj",), sd, "image_proj")
+    _linear(tree, ("time_emb", "lin1"), sd, "time_emb.lin1")
+    _linear(tree, ("time_emb", "lin2"), sd, "time_emb.lin2")
+
+    def res_block(prefix, tk):
+        _norm(tree, (prefix, "norm1"), sd, tk + ".norm1", wrapped=True)
+        _conv(tree, (prefix, "conv1"), sd, tk + ".conv1")
+        _norm(tree, (prefix, "norm2"), sd, tk + ".norm2", wrapped=True)
+        _conv(tree, (prefix, "conv2"), sd, tk + ".conv2")
+        _linear(tree, (prefix, "time_emb"), sd, tk + ".time_emb")
+        if tk + ".shortcut.weight" in sd:
+            _conv(tree, (prefix, "shortcut"), sd, tk + ".shortcut")
+
+    def attn_block(prefix, tk):
+        # NOTE: tk+".norm" exists in the torch state dict but is never applied in
+        # the reference forward (ddpm/unet.py:180-214) — intentionally dropped.
+        _linear(tree, (prefix, "projection"), sd, tk + ".projection")
+        _linear(tree, (prefix, "output"), sd, tk + ".output")
+
+    for side in ("down", "up"):
+        k = 0
+        while True:
+            tk = f"{side}.{k}"
+            if f"{tk}.res.norm1.weight" in sd:
+                res_block(f"{side}_{k}_res", tk + ".res")
+                if f"{tk}.attn.projection.weight" in sd:
+                    attn_block(f"{side}_{k}_attn", tk + ".attn")
+            elif f"{tk}.conv.weight" in sd:
+                if side == "down":
+                    _conv(tree, (f"down_{k}_ds", "conv"), sd, tk + ".conv")
+                else:
+                    _conv_transpose(tree, (f"up_{k}_us", "conv"), sd, tk + ".conv")
+            else:
+                break
+            k += 1
+
+    res_block("middle_res1", "middle.res1")
+    attn_block("middle_attn", "middle.attn")
+    res_block("middle_res2", "middle.res2")
+    _norm(tree, ("norm",), sd, "norm", wrapped=True)
+    _conv(tree, ("final",), sd, "final")
+    return tree
+
+
 # ---------------------------------------------------------------------------
 # GRU-based conditioning encoders/decoders
 # ---------------------------------------------------------------------------

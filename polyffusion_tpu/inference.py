@@ -1,0 +1,536 @@
+"""Generation / inpainting inference pipeline + CLI.
+
+Counterpart of the reference driver (``inference_sdf.py``): whole-song conditioning
+from the val split or an arbitrary MIDI, plain generation, RePaint inpainting with
+mask builders ({remaining, below, above, bars}), arbitrary-length autoregressive
+generation with 4-bar overlap, DDPM or DDIM sampling with classifier-free guidance.
+
+TPU-first mechanics: each 8-bar paint is one jitted ``lax.scan`` over all denoising
+steps; the autoregressive outer loop stays in Python (O(length) iterations over a
+single compiled shape).  Masks and stitching are host NumPy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+from datetime import datetime
+from typing import Optional
+
+import numpy as np
+
+from .config import Params, load_params
+from .data.dataset import SongNpz
+from .diffusion import make_ddim_schedule, make_schedule
+from .diffusion import sampler as S
+from .tasks.sdf import SDFTask
+from .utils.midi_io import prmat2c_to_midi_file
+from .utils.reprs import chd_to_onehot
+
+
+# ---------------------------------------------------------------------------
+# mask builders (reference inference_sdf.py:132-193), vectorized host NumPy
+# ---------------------------------------------------------------------------
+
+
+def _forward_fill(vals: np.ndarray, empty_marker: int) -> np.ndarray:
+    """Replace ``empty_marker`` entries with the previous valid value; leading
+    entries take the first valid value (reference :145-151, :167-173)."""
+    vals = vals.copy()
+    valid = vals != empty_marker
+    if not valid.any():
+        return vals
+    first = vals[np.argmax(valid)]
+    prev = first
+    for i in range(len(vals)):
+        if valid[i]:
+            prev = vals[i]
+        else:
+            vals[i] = prev
+    return vals
+
+
+def get_mask(orig: np.ndarray, inpaint_type: str, bar_list=None) -> np.ndarray:
+    """Inpainting masks over (B, 2, 128, 128); mask==1 marks the *kept* region."""
+    b, _, n_step, n_pitch = orig.shape
+    if inpaint_type == "remaining":
+        return orig.copy()
+
+    if inpaint_type in ("below", "above"):
+        onset = orig[:, 0].reshape(b * n_step, n_pitch)
+        if inpaint_type == "below":
+            pitch = onset.argmax(axis=1)  # lowest sounding pitch (first 1)
+            pitch = _forward_fill(pitch, 0)
+            cols = np.arange(n_pitch)[None, :]
+            mask2d = (cols >= pitch[:, None]).astype(np.float32)
+        else:
+            pitch = n_pitch - 1 - onset[:, ::-1].argmax(axis=1)  # highest pitch
+            pitch = _forward_fill(pitch, n_pitch - 1)
+            cols = np.arange(n_pitch)[None, :]
+            mask2d = (cols <= pitch[:, None]).astype(np.float32)
+        mask = mask2d.reshape(b, 1, n_step, n_pitch)
+        return np.broadcast_to(mask, orig.shape).copy()
+
+    if inpaint_type == "bars":
+        assert bar_list is not None, "bars inpainting needs --bar_list"
+        mask = np.ones_like(orig)
+        for bar in bar_list:
+            mask[:, :, bar * 16 : bar * 16 + 16, :] = 0
+        return mask
+
+    raise NotImplementedError(inpaint_type)
+
+
+def get_autoreg_data(data: np.ndarray, axis: int) -> np.ndarray:
+    """The 4-bar-overlap "mid" segments: (second half | next segment's first half)
+    (reference inference_sdf.py:121-129)."""
+    half1, half2 = np.split(data, 2, axis=axis)
+    half1 = np.roll(half1, -1, axis=0)
+    return np.concatenate([half2, half1], axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint loading
+# ---------------------------------------------------------------------------
+
+
+def load_unet_params(chkpt_path: str, task: SDFTask):
+    """Load UNet weights from an orbax run dir, a torch legacy ``.pt``, or a
+    lightning ``.ckpt`` (reference inference_sdf.py:702-734)."""
+    if os.path.isdir(chkpt_path):
+        import jax
+        import orbax.checkpoint as ocp
+
+        from .train import create_state, make_optimizer
+
+        ckpt_dir = (
+            os.path.join(chkpt_path, "chkpts")
+            if os.path.isdir(os.path.join(chkpt_path, "chkpts"))
+            else chkpt_path
+        )
+        mgr = ocp.CheckpointManager(ckpt_dir)
+        step = mgr.latest_step()
+        assert step is not None, f"no checkpoints under {ckpt_dir}"
+        from .parallel.mesh import init_on_cpu
+
+        optimizer = make_optimizer(1e-4)
+        template = create_state(
+            init_on_cpu(task.init_params, jax.random.PRNGKey(0)), optimizer
+        )
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore({"state": template})
+        )
+        return restored["state"].params
+
+    from .convert.torch_import import torch_file_to_numpy, unet_params_from_torch
+
+    sd = torch_file_to_numpy(chkpt_path)
+    # strip task prefixes: legacy learner "ldm.eps_model.", lightning "model.ldm.eps_model."
+    for prefix in ("model.ldm.eps_model.", "ldm.eps_model.", "eps_model."):
+        hit = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+        if hit:
+            return unet_params_from_torch(hit)
+    return unet_params_from_torch(sd)
+
+
+# ---------------------------------------------------------------------------
+# inference session
+# ---------------------------------------------------------------------------
+
+
+class InferenceSession:
+    """Bundles a task + params + sampler choice into generate/inpaint calls."""
+
+    def __init__(
+        self,
+        task: SDFTask,
+        params,
+        *,
+        use_ddim: bool = False,
+        ddim_steps: int = 50,
+        ddim_eta: float = 0.0,
+        ddim_discretize: str = "uniform",
+        repaint_n: int = 1,
+        seed: int = 0,
+    ):
+        import jax
+
+        self.task = task
+        self.params = params
+        self.cfg = task.cfg
+        self.use_ddim = use_ddim
+        self.repaint_n = repaint_n
+        self.schedule = task.schedule
+        self.ddim = (
+            make_ddim_schedule(self.schedule, ddim_steps, ddim_discretize, ddim_eta)
+            if use_ddim
+            else None
+        )
+        self.ddim_label = f"ddim{ddim_steps}_eta{ddim_eta}_{ddim_discretize}"
+        self.rng = jax.random.PRNGKey(seed)
+        self._paint_cache = {}
+
+    def _next_rng(self):
+        import jax
+
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    @property
+    def t_idx(self) -> int:
+        return (self.ddim.n_steps if self.use_ddim else self.schedule.n_steps) - 1
+
+    def _q_sample_start(self, orig_nhwc, noise):
+        from .diffusion.gaussian import q_sample_step
+        from .diffusion.sampler import ddim_q_sample
+
+        if self.use_ddim:
+            return ddim_q_sample(self.ddim, orig_nhwc, self.t_idx, noise)
+        return q_sample_step(self.schedule, orig_nhwc, self.t_idx, noise)
+
+    def _paint_fn(self, uncond_scale: float):
+        """Jitted full-loop paint for a given CFG scale (compiled once per shape)."""
+        import jax
+
+        key = (uncond_scale, self.use_ddim, self.repaint_n)
+        if key not in self._paint_cache:
+            if self.use_ddim:
+
+                def paint(params, x, cond, rng, orig, mask, orig_noise, uncond_cond):
+                    return S.ddim_paint(
+                        self.task.apply_eps,
+                        params,
+                        self.ddim,
+                        x,
+                        cond,
+                        self.t_idx,
+                        rng,
+                        orig=orig,
+                        mask=mask,
+                        orig_noise=orig_noise,
+                        uncond_scale=uncond_scale,
+                        uncond_cond=uncond_cond,
+                    )
+
+            else:
+
+                def paint(params, x, cond, rng, orig, mask, orig_noise, uncond_cond):
+                    del orig_noise
+                    return S.ddpm_paint(
+                        self.task.apply_eps,
+                        params,
+                        self.schedule,
+                        x,
+                        cond,
+                        self.t_idx,
+                        rng,
+                        orig=orig,
+                        mask=mask,
+                        uncond_scale=uncond_scale,
+                        uncond_cond=uncond_cond,
+                        repaint_n=self.repaint_n,
+                    )
+
+            self._paint_cache[key] = jax.jit(paint)
+        return self._paint_cache[key]
+
+    # -- prediction ------------------------------------------------------------
+
+    def predict(
+        self,
+        cond: np.ndarray,
+        cond_mid: Optional[np.ndarray] = None,
+        uncond_scale: float = 1.0,
+        autoreg: bool = False,
+        orig: Optional[np.ndarray] = None,
+        mask: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Generate/inpaint (B, 2, 128, 128) images (reference Experiments.predict).
+
+        Plain path: start from q_sample(orig=0) noise and paint with zero mask.
+        Autoreg path: 2B-1 sliding 8-bar windows, forcing each window's first 4
+        bars to the previous window's last 4 bars (mask=1 there).
+        """
+        import jax.numpy as jnp
+
+        b = cond.shape[0]
+        h, w = self.cfg.img_h, self.cfg.img_w
+        shape = (b, h, w, self.cfg.out_channels)  # NHWC
+        uncond_cond = -np.ones((b, 1, self.cfg.d_cond), np.float32)
+
+        if orig is None or mask is None:
+            orig = np.zeros((b, self.cfg.out_channels, h, w), np.float32)
+            mask = np.zeros_like(orig)
+
+        orig_nhwc = np.transpose(orig, (0, 2, 3, 1))
+        mask_nhwc = np.transpose(mask, (0, 2, 3, 1))
+        import jax
+
+        noise = np.asarray(jax.random.normal(self._next_rng(), shape, jnp.float32))
+        paint = self._paint_fn(uncond_scale)
+
+        if not autoreg:
+            xt = self._q_sample_start(jnp.asarray(orig_nhwc), jnp.asarray(noise))
+            gen = paint(
+                self.params,
+                xt,
+                jnp.asarray(cond),
+                self._next_rng(),
+                jnp.asarray(orig_nhwc),
+                jnp.asarray(mask_nhwc),
+                jnp.asarray(noise),
+                jnp.asarray(uncond_cond),
+            )
+            return np.transpose(np.asarray(gen), (0, 3, 1, 2))
+
+        assert cond_mid is not None, "autoreg needs the mid-window conditions"
+        half = h // 2
+        orig_mid = get_autoreg_data(orig_nhwc, axis=1)
+        mask_mid = get_autoreg_data(mask_nhwc, axis=1)
+        noise_mid = get_autoreg_data(noise, axis=1)
+        uncond_seg = jnp.asarray(uncond_cond[:1])
+
+        gen = []
+        prev_half = None
+        for idx in range(b * 2 - 1):
+            if idx % 2 == 1:
+                c, o, m, nz = (
+                    cond_mid[idx // 2 : idx // 2 + 1],
+                    orig_mid[idx // 2 : idx // 2 + 1].copy(),
+                    mask_mid[idx // 2 : idx // 2 + 1].copy(),
+                    noise_mid[idx // 2 : idx // 2 + 1],
+                )
+            else:
+                c, o, m, nz = (
+                    cond[idx // 2 : idx // 2 + 1],
+                    orig_nhwc[idx // 2 : idx // 2 + 1].copy(),
+                    mask_nhwc[idx // 2 : idx // 2 + 1].copy(),
+                    noise[idx // 2 : idx // 2 + 1],
+                )
+            if idx != 0:
+                o[:, 0:half] = prev_half
+                m[:, 0:half] = 1.0
+            xt = self._q_sample_start(jnp.asarray(o), jnp.asarray(nz))
+            x0 = np.asarray(
+                paint(
+                    self.params,
+                    xt,
+                    jnp.asarray(c),
+                    self._next_rng(),
+                    jnp.asarray(o),
+                    jnp.asarray(m),
+                    jnp.asarray(nz),
+                    uncond_seg,
+                )
+            )
+            if idx == 0:
+                gen.append(x0[:, 0:half])
+            prev_half = x0[:, half:]
+            gen.append(prev_half)
+
+        stacked = np.concatenate(gen, axis=0)  # (2B, half, W, C)
+        return np.transpose(stacked, (0, 3, 1, 2))
+
+    # -- user-facing ops ----------------------------------------------------------
+
+    def generate(
+        self,
+        cond,
+        cond_mid=None,
+        uncond_scale: float = 1.0,
+        autoreg: bool = False,
+        output_dir: Optional[str] = None,
+        model_label: str = "sdf",
+        no_output: bool = False,
+    ):
+        gen = self.predict(cond, cond_mid, uncond_scale, autoreg)
+        if not no_output and output_dir:
+            stamp = (
+                f"{model_label}[scale={uncond_scale}"
+                f"{',autoreg' if autoreg else ''}"
+                f"{',' + self.ddim_label if self.use_ddim else ''}]"
+                f"_{datetime.now().strftime('%y-%m-%d_%H%M%S')}"
+            )
+            os.makedirs(output_dir, exist_ok=True)
+            prmat2c_to_midi_file(gen, os.path.join(output_dir, f"{stamp}.mid"))
+        return gen
+
+    def inpaint(
+        self,
+        orig: np.ndarray,
+        inpaint_type: str,
+        cond,
+        cond_mid=None,
+        autoreg: bool = False,
+        uncond_scale: float = 1.0,
+        bar_list=None,
+        output_dir: Optional[str] = None,
+        model_label: str = "sdf",
+        no_output: bool = False,
+    ):
+        mask = get_mask(orig, inpaint_type, bar_list)
+        gen = self.predict(cond, cond_mid, uncond_scale, autoreg, orig, mask)
+        if not no_output and output_dir:
+            stamp = (
+                f"{model_label}_inp{self.repaint_n}_{inpaint_type}"
+                f"[scale={uncond_scale}"
+                f"{',autoreg' if autoreg else ''}"
+                f"{',' + self.ddim_label if self.use_ddim else ''}]"
+                f"_{datetime.now().strftime('%y-%m-%d_%H%M%S')}"
+            )
+            os.makedirs(output_dir, exist_ok=True)
+            prmat2c_to_midi_file(
+                gen, os.path.join(output_dir, f"{stamp}.mid"), inp_mask=mask
+            )
+        return gen, mask
+
+
+# ---------------------------------------------------------------------------
+# condition preparation from data sources
+# ---------------------------------------------------------------------------
+
+
+def song_conditions(task: SDFTask, song_data, length: int = 0, autoreg: bool = False):
+    """Whole-song (prmat2c, pnotree, chord, prmat) -> (cond, cond_mid, prmat2c)."""
+    import jax.numpy as jnp
+
+    prmat2c, pnotree, chord, prmat = song_data
+    if length and length > 0:
+        prmat2c, pnotree, chord, prmat = (
+            prmat2c[:length],
+            pnotree[:length],
+            chord[:length],
+            prmat[:length],
+        )
+    batch = (
+        jnp.asarray(prmat2c),
+        jnp.asarray(pnotree),
+        jnp.asarray(chord),
+        jnp.asarray(prmat),
+    )
+    cond = np.asarray(task.encode_cond(batch, rng=None))
+    cond_mid = None
+    if autoreg:
+        chord_mid = get_autoreg_data(np.asarray(chord), axis=1)
+        pnotree_mid = get_autoreg_data(np.asarray(pnotree), axis=1)
+        prmat_mid = get_autoreg_data(np.asarray(prmat), axis=1)
+        prmat2c_mid = get_autoreg_data(np.asarray(prmat2c), axis=2)
+        batch_mid = (
+            jnp.asarray(prmat2c_mid),
+            jnp.asarray(pnotree_mid),
+            jnp.asarray(chord_mid),
+            jnp.asarray(prmat_mid),
+        )
+        cond_mid = np.asarray(task.encode_cond(batch_mid, rng=None))
+    return cond, cond_mid, np.asarray(prmat2c)
+
+
+def build_task_for_inference(params_cfg: Params, pretrained_dir: Optional[str] = None) -> SDFTask:
+    """Construct an SDFTask with frozen encoders when the config requires them."""
+    kwargs = {}
+    if params_cfg.get("use_enc", False):
+        from .models.encoders import build_frozen_encoders
+
+        kwargs = build_frozen_encoders(params_cfg, pretrained_dir)
+    return SDFTask(params_cfg, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="polyffusion_tpu generation / inpainting")
+    p.add_argument("--model", default=None, help="params preset name (default: from ckpt dir)")
+    p.add_argument("--chkpt_path", required=True, help="run dir (orbax) or torch .pt/.ckpt")
+    p.add_argument("--uncond_scale", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--length", type=int, default=0, help="number of 8-bar segments (0 = whole song)")
+    p.add_argument("--num_generate", type=int, default=1)
+    p.add_argument("--autoreg", action="store_true")
+    p.add_argument("--ddim", action="store_true")
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--ddim_discretize", default="uniform", choices=["uniform", "quad"])
+    p.add_argument("--repaint_n", type=int, default=1)
+    p.add_argument("--inpaint_type", default=None, choices=[None, "remaining", "below", "above", "bars"])
+    p.add_argument("--bar_list", default=None, help="comma-separated bars for --inpaint_type bars")
+    p.add_argument("--data_dir", default=None, help="npz dir for conditioning/inpainting source")
+    p.add_argument("--song_fn", default=None, help="song npz filename (non-interactive)")
+    p.add_argument("--split_file", default=None, help="pickled (train, val) split; choose from val")
+    p.add_argument("--song_index", type=int, default=0, help="index into the val split")
+    p.add_argument("--from_midi", default=None, help="condition from an arbitrary MIDI file")
+    p.add_argument("--pretrained_dir", default=None, help="dir with pretrained encoder checkpoints")
+    p.add_argument("--output_dir", default="exp")
+    args = p.parse_args(argv)
+
+    # resolve params: run dir's params.yaml, or preset name
+    if args.model is None and os.path.isdir(args.chkpt_path):
+        cfg = load_params(os.path.join(args.chkpt_path, "params.yaml"))
+    else:
+        cfg = load_params(args.model or "sdf_chd8bar")
+
+    task = build_task_for_inference(cfg, args.pretrained_dir)
+    params = load_unet_params(args.chkpt_path, task)
+    session = InferenceSession(
+        task,
+        params,
+        use_ddim=args.ddim,
+        ddim_steps=args.ddim_steps,
+        ddim_eta=args.ddim_eta,
+        ddim_discretize=args.ddim_discretize,
+        repaint_n=args.repaint_n,
+        seed=args.seed,
+    )
+
+    # conditioning source
+    if args.from_midi:
+        from .data.midi_to_data import get_data_for_single_midi
+
+        song = get_data_for_single_midi(args.from_midi)
+        song_data = song.get_whole_song_data()
+    else:
+        assert args.data_dir, "--data_dir (or --from_midi) is required"
+        song_fn = args.song_fn
+        if song_fn is None and args.split_file:
+            with open(args.split_file, "rb") as f:
+                split = pickle.load(f)
+            song_fn = split[1][args.song_index]
+        assert song_fn, "--song_fn or --split_file required"
+        song_data = SongNpz(song_fn, args.data_dir).get_whole_song_data()
+
+    cond, cond_mid, prmat2c = song_conditions(task, song_data, args.length, args.autoreg)
+    label = cfg.get("model_name", "sdf")
+
+    for i in range(args.num_generate):
+        if args.inpaint_type:
+            bar_list = (
+                [int(x) for x in args.bar_list.split(",")] if args.bar_list else None
+            )
+            session.inpaint(
+                prmat2c,
+                args.inpaint_type,
+                cond,
+                cond_mid,
+                autoreg=args.autoreg,
+                uncond_scale=args.uncond_scale,
+                bar_list=bar_list,
+                output_dir=args.output_dir,
+                model_label=label,
+            )
+        else:
+            session.generate(
+                cond,
+                cond_mid,
+                uncond_scale=args.uncond_scale,
+                autoreg=args.autoreg,
+                output_dir=args.output_dir,
+                model_label=label,
+            )
+    print(f"wrote {args.num_generate} output(s) to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

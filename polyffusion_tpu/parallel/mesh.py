@@ -46,3 +46,16 @@ def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
 
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
+
+
+def init_on_cpu(init_fn, *args, **kwargs):
+    """Run a (flax) init function on the host CPU backend as ONE jitted program.
+
+    Parameter initialization is hundreds of tiny ops; dispatching them one-by-one
+    through a remote-compile TPU path can take minutes.  On CPU under a single jit
+    it is one compile + microseconds of compute; callers then ``device_put`` the
+    pytree to its target sharding.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return jax.jit(lambda: init_fn(*args, **kwargs))()

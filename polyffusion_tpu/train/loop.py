@@ -125,16 +125,16 @@ class Trainer:
     # -- the loop ---------------------------------------------------------------
 
     def fit(self, train_dl, val_dl, seed: int = 0, resume: bool = True):
+        from ..parallel.mesh import init_on_cpu, replicated
+
         rng = jax.random.PRNGKey(seed)
         init_rng, step_rng = jax.random.split(rng)
-        params = self.task.init_params(init_rng)
+        params = init_on_cpu(self.task.init_params, init_rng)
         print(f"[model] {param_count(params) / 1e6:.2f}M trainable params")
         state = create_state(params, self.optimizer)
         if resume:
             state = self.try_restore(state)
         if self.mesh is not None:
-            from ..parallel.mesh import replicated
-
             state = jax.device_put(state, replicated(self.mesh))
 
         max_epoch = int(self.cfg.get("max_epoch", 1))

@@ -28,6 +28,19 @@ def torch_state_to_numpy(module):
     return {k: v.detach().numpy() for k, v in module.state_dict().items()}
 
 
+def stub_pretty_midi():
+    """Reference dl_modules imports pretty_midi at module level (only used for
+    MIDI output helpers we never call in tests) — stub it."""
+    import types
+
+    if "pretty_midi" not in sys.modules:
+        pm = types.ModuleType("pretty_midi")
+        pm.PrettyMIDI = object
+        pm.Instrument = object
+        pm.Note = object
+        sys.modules["pretty_midi"] = pm
+
+
 def import_reference_samplers():
     """Import the reference SDFSampler/DDIMSampler/LatentDiffusion with stub deps.
 
