@@ -40,14 +40,29 @@ class SongNpz:
     def __init__(self, song_fn: str, data_dir: str, use_track: Sequence[int] = (0, 1, 2)):
         self.song_fn = song_fn
         self.fpath = os.path.join(data_dir, song_fn)
-        self.use_track = list(use_track)
-
         data = np.load(self.fpath, allow_pickle=True)
-        self.notes = np.array(data["notes"], dtype=object) if data["notes"].dtype == object else np.array(data["notes"])
-        self.start_table = data["start_table"]
-        db_pos = data["db_pos"]
-        self.db_pos = db_pos[data["db_pos_filter"]]
-        self.chord = data["chord"].astype(np.int32)
+        self._setup(data, use_track)
+
+    @classmethod
+    def from_dict(cls, data: dict, song_fn: str = "<memory>", use_track=(0, 1, 2)):
+        """Build from an in-memory data dict (the --from_midi inference path,
+        reference ``data/datasample.py``)."""
+        self = cls.__new__(cls)
+        self.song_fn = song_fn
+        self.fpath = song_fn
+        self._setup(data, use_track)
+        return self
+
+    def _setup(self, data, use_track: Sequence[int]):
+        self.use_track = list(use_track)
+        notes = np.asarray(data["notes"], dtype=object) if np.asarray(
+            data["notes"]
+        ).dtype == object else np.asarray(data["notes"])
+        self.notes = notes
+        self.start_table = np.asarray(data["start_table"])
+        db_pos = np.asarray(data["db_pos"])
+        self.db_pos = db_pos[np.asarray(data["db_pos_filter"])]
+        self.chord = np.asarray(data["chord"]).astype(np.int32)
         self._multitrack = self.start_table.ndim > 0 and self.start_table.dtype == object
         self._cache: Dict[int, Tuple[np.ndarray, ...]] = {}
 

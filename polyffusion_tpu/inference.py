@@ -487,9 +487,9 @@ def main(argv=None):
 
     # conditioning source
     if args.from_midi:
-        from .data.midi_to_data import get_data_for_single_midi
+        from .data.midi_to_data import song_from_midi
 
-        song = get_data_for_single_midi(args.from_midi)
+        song = song_from_midi(args.from_midi)
         song_data = song.get_whole_song_data()
     else:
         assert args.data_dir, "--data_dir (or --from_midi) is required"

@@ -29,6 +29,8 @@ class Note:
     end: float  # seconds
     pitch: int
     velocity: int = 80
+    start_tick: int = -1  # populated by load_midi for exact grid quantization
+    end_tick: int = -1
 
 
 @dataclass
@@ -44,6 +46,7 @@ class TimeSignature:
     numerator: int
     denominator: int
     time: float  # seconds
+    tick: int = 0
 
 
 @dataclass
@@ -234,7 +237,7 @@ def load_midi(fpath: str) -> MidiFile:
 
     midi.tempo_changes = tempo_events
     midi.time_signatures = [
-        TimeSignature(num, den, tick_to_sec(tk)) for tk, num, den in sorted(ts_events)
+        TimeSignature(num, den, tick_to_sec(tk), tk) for tk, num, den in sorted(ts_events)
     ]
     midi.lyrics = [Lyric(text, tick_to_sec(tk)) for tk, text in sorted(lyric_events)]
     midi.max_tick = max_tick
@@ -258,7 +261,7 @@ def load_midi(fpath: str) -> MidiFile:
                     if key not in instruments:
                         instruments[key] = Instrument(program=prog, is_drum=(ch == 9))
                     instruments[key].notes.append(
-                        Note(tick_to_sec(on_tick), tick_to_sec(tick), a, vel)
+                        Note(tick_to_sec(on_tick), tick_to_sec(tick), a, vel, on_tick, tick)
                     )
         for ins in instruments.values():
             ins.notes.sort(key=lambda n: (n.start, n.pitch))
