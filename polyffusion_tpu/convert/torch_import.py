@@ -238,6 +238,32 @@ def texture_encoder_params_from_torch(sd: StateDict) -> Dict:
     return tree
 
 
+def pianotree_decoder_params_from_torch(sd: StateDict) -> Dict:
+    """Reference ``PianoTreeDecoder``/``PtvaeDecoder`` state dict -> flax params
+    (dl_modules/pianotree_dec.py:10-99, polydis/ptvae.py:238-).
+    """
+    tree: Dict = {
+        "dec_notes_emb_gru_fwd": gru_params_from_torch(sd, "dec_notes_emb_gru"),
+        "dec_notes_emb_gru_bwd": gru_params_from_torch(sd, "dec_notes_emb_gru", reverse=True),
+        "dec_time_gru": gru_params_from_torch(sd, "dec_time_gru"),
+        "dec_notes_gru": gru_params_from_torch(sd, "dec_notes_gru"),
+        "dec_dur_gru": gru_params_from_torch(sd, "dec_dur_gru"),
+        "dec_init_input": sd["dec_init_input"],
+        "dur_sos_token": sd["dur_sos_token"],
+    }
+    for name in (
+        "note_embedding",
+        "z2dec_hid_linear",
+        "z2dec_in_linear",
+        "dec_time_to_notes_hid",
+        "pitch_out_linear",
+        "dur_hid_linear",
+        "dur_out_linear",
+    ):
+        _linear(tree, (name,), sd, name)
+    return tree
+
+
 def pianotree_encoder_params_from_torch(sd: StateDict) -> Dict:
     """Reference ``PianoTreeEncoder`` (dl_modules/pianotree_enc.py:7-121) -> flax params."""
     tree: Dict = {

@@ -464,6 +464,12 @@ def main(argv=None):
     p.add_argument("--from_midi", default=None, help="condition from an arbitrary MIDI file")
     p.add_argument("--pretrained_dir", default=None, help="dir with pretrained encoder checkpoints")
     p.add_argument("--output_dir", default="exp")
+    p.add_argument(
+        "--polydis_recon",
+        action="store_true",
+        help="re-render outputs through the pretrained PolyDis VAE (aftertouch)",
+    )
+    p.add_argument("--polydis_path", default=None, help="PolyDis torch checkpoint")
     args = p.parse_args(argv)
 
     # resolve params: run dir's params.yaml, or preset name
@@ -504,6 +510,12 @@ def main(argv=None):
     cond, cond_mid, prmat2c = song_conditions(task, song_data, args.length, args.autoreg)
     label = cfg.get("model_name", "sdf")
 
+    aftertouch = None
+    if args.polydis_recon:
+        from .models.polydis import PolydisAftertouch
+
+        aftertouch = PolydisAftertouch(model_path=args.polydis_path)
+
     for i in range(args.num_generate):
         if args.inpaint_type:
             bar_list = (
@@ -521,7 +533,7 @@ def main(argv=None):
                 model_label=label,
             )
         else:
-            session.generate(
+            gen = session.generate(
                 cond,
                 cond_mid,
                 uncond_scale=args.uncond_scale,
@@ -529,6 +541,19 @@ def main(argv=None):
                 output_dir=args.output_dir,
                 model_label=label,
             )
+            if aftertouch is not None:
+                from .utils.reprs import prmat2c_to_prmat
+
+                prmat = prmat2c_to_prmat(gen)
+                chd = np.asarray(song_data[2])[: prmat.shape[0]]
+                # PolyDis operates on 2-bar (32-step) windows with 8-beat chords
+                chd8 = chd.reshape(-1, 4, 8, 36)[: prmat.shape[0] // 4].reshape(-1, 8, 36)
+                n = min(prmat.shape[0], chd8.shape[0])
+                aftertouch.reconstruct(
+                    prmat[:n].astype(np.float32),
+                    chd8[:n].astype(np.float32),
+                    os.path.join(args.output_dir, f"polydis_recon_{i}.mid"),
+                )
     print(f"wrote {args.num_generate} output(s) to {args.output_dir}")
 
 
