@@ -62,7 +62,13 @@ class SongNpz:
         self.start_table = np.asarray(data["start_table"])
         db_pos = np.asarray(data["db_pos"])
         self.db_pos = db_pos[np.asarray(data["db_pos_filter"])]
-        self.chord = np.asarray(data["chord"]).astype(np.int32)
+        if "chord" in data and np.asarray(data["chord"]).size:
+            self.chord = np.asarray(data["chord"]).astype(np.int32)
+        else:
+            # chord-less corpora (e.g. musicalion solo piano,
+            # reference data/dataset_musicalion.py): zero placeholder rows
+            n_beats = (int(db_pos[-1]) // N_BIN + SEG_LGTH) if len(db_pos) else SEG_LGTH
+            self.chord = np.zeros((n_beats, 14), np.int32)
         self._multitrack = self.start_table.ndim > 0 and self.start_table.dtype == object
         self._cache: Dict[int, Tuple[np.ndarray, ...]] = {}
 
@@ -74,15 +80,18 @@ class SongNpz:
     def _seg_nmat_at_db(self, db: int) -> np.ndarray:
         """Notes with onsets in [db, db + 128), onset rebased to 0 (cols o, p, d)."""
 
+        def lookup(table, key):
+            # start tables are dense arrays (our prepare_data) or per-downbeat
+            # dicts (the reference POP909 conversion, polydis_format_to_mine.py)
+            if isinstance(table, dict):
+                return int(table[key]) if key in table else None
+            return int(table[key]) if key < len(table) else None
+
         def one_track(notes, start_table):
-            table = start_table if not isinstance(start_table, np.ndarray) else start_table
-            s = int(table[db])
-            end_key = db + SEG_LGTH_BIN
-            if end_key < len(table):
-                e = int(table[end_key])
-                seg = np.asarray(notes[s:e])
-            else:
-                seg = np.asarray(notes[s:])
+            s = lookup(start_table, db)
+            e = lookup(start_table, db + SEG_LGTH_BIN)
+            notes = np.asarray(notes)
+            seg = np.asarray(notes[s:e] if e is not None else notes[s:])
             return seg.reshape(-1, seg.shape[-1]) if seg.size else np.zeros((0, 5))
 
         if self._multitrack:

@@ -95,7 +95,7 @@ def get_autoreg_data(data: np.ndarray, axis: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def load_unet_params(chkpt_path: str, task: SDFTask):
+def load_unet_params(chkpt_path: str, task, torch_converter=None, prefixes=None):
     """Load UNet weights from an orbax run dir, a torch legacy ``.pt``, or a
     lightning ``.ckpt`` (reference inference_sdf.py:702-734)."""
     if os.path.isdir(chkpt_path):
@@ -125,13 +125,15 @@ def load_unet_params(chkpt_path: str, task: SDFTask):
 
     from .convert.torch_import import torch_file_to_numpy, unet_params_from_torch
 
+    torch_converter = torch_converter or unet_params_from_torch
+    prefixes = prefixes or ("model.ldm.eps_model.", "ldm.eps_model.", "eps_model.")
     sd = torch_file_to_numpy(chkpt_path)
     # strip task prefixes: legacy learner "ldm.eps_model.", lightning "model.ldm.eps_model."
-    for prefix in ("model.ldm.eps_model.", "ldm.eps_model.", "eps_model."):
+    for prefix in prefixes:
         hit = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
         if hit:
-            return unet_params_from_torch(hit)
-    return unet_params_from_torch(sd)
+            return torch_converter(hit)
+    return torch_converter(sd)
 
 
 # ---------------------------------------------------------------------------
@@ -441,6 +443,47 @@ def build_task_for_inference(params_cfg: Params, pretrained_dir: Optional[str] =
 # ---------------------------------------------------------------------------
 
 
+def _main_ddpm(cfg, args):
+    """Unconditional generation with the plain DDPM model family
+    (reference ``inference.py``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .diffusion import make_ddim_schedule
+    from .diffusion import sampler as S
+    from .tasks.ddpm import DDPMTask
+    from .convert.torch_import import ddpm_unet_params_from_torch
+
+    task = DDPMTask(cfg)
+    params = load_unet_params(
+        args.chkpt_path,
+        task,
+        torch_converter=ddpm_unet_params_from_torch,
+        prefixes=("model.ddpm.eps_model.", "ddpm.eps_model.", "eps_model."),
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    b = max(args.length, 1)
+    h = cfg.get("image_size_h", 128)
+    w = cfg.get("image_size_w", 128)
+    c = cfg.get("image_channels", 2)
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i in range(args.num_generate):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        x_last = jax.random.normal(k1, (b, h, w, c))
+        cond = jnp.zeros((b, 1, 1))
+        if args.ddim:
+            dd = make_ddim_schedule(
+                task.schedule, args.ddim_steps, args.ddim_discretize, args.ddim_eta
+            )
+            gen = S.ddim_sample(task.apply_eps, params, dd, x_last, cond, k2)
+        else:
+            gen = S.ddpm_sample(task.apply_eps, params, task.schedule, x_last, cond, k2)
+        out = np.transpose(np.asarray(gen), (0, 3, 1, 2))
+        stamp = datetime.now().strftime("%y-%m-%d_%H%M%S")
+        prmat2c_to_midi_file(out, os.path.join(args.output_dir, f"ddpm_{stamp}_{i}.mid"))
+    print(f"wrote {args.num_generate} output(s) to {args.output_dir}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="polyffusion_tpu generation / inpainting")
     p.add_argument("--model", default=None, help="params preset name (default: from ckpt dir)")
@@ -477,6 +520,9 @@ def main(argv=None):
         cfg = load_params(os.path.join(args.chkpt_path, "params.yaml"))
     else:
         cfg = load_params(args.model or "sdf_chd8bar")
+
+    if cfg.get("model_name") == "ddpm":
+        return _main_ddpm(cfg, args)
 
     task = build_task_for_inference(cfg, args.pretrained_dir)
     params = load_unet_params(args.chkpt_path, task)

@@ -1,0 +1,177 @@
+"""Smoke tests: expr eval harness, maintenance tools, image dumps, musicalion variant."""
+
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+
+from polyffusion_tpu import expr as X
+from polyffusion_tpu.config import Params
+from polyffusion_tpu.inference import InferenceSession
+from polyffusion_tpu.parallel.mesh import init_on_cpu
+from polyffusion_tpu.tasks import SDFTask
+
+from synth import make_song_npz
+
+TINY_CFG = Params(
+    model_name="sdf_tiny",
+    batch_size=4,
+    learning_rate=1e-4,
+    bf16=False,
+    in_channels=2,
+    out_channels=2,
+    channels=32,
+    attention_levels=[2],
+    n_res_blocks=1,
+    channel_multipliers=[1, 2, 4],
+    n_heads=2,
+    tf_layers=1,
+    d_cond=1152,
+    linear_start=0.00085,
+    linear_end=0.012,
+    n_steps=20,
+    img_h=128,
+    img_w=128,
+    cond_type="chord",
+    cond_mode="mix",
+    use_enc=False,
+)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("npz")
+    for i in range(3):
+        make_song_npz(str(d / f"{i}.npz"), n_bars=16, seed=i)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def session_task():
+    task = SDFTask(TINY_CFG)
+    params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+    session = InferenceSession(task, params, use_ddim=True, ddim_steps=2)
+    return session, task
+
+
+@pytest.mark.parametrize("kind", ["uncond", "inp_below", "inp_bars", "chd", "txt"])
+def test_experiments_run(session_task, data_dir, tmp_path, kind):
+    session, task = session_task
+    if kind == "txt":
+        # vanilla texture conditioning needs d_cond=128 (the raw prmat rows,
+        # cf. sdf_txtvnl.yaml)
+        cfg = Params({**TINY_CFG, "d_cond": 128, "cond_type": "txt"})
+        task = SDFTask(cfg)
+        params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+        session = InferenceSession(task, params, use_ddim=True, ddim_steps=2)
+    args = SimpleNamespace(
+        data_dir=data_dir,
+        split_file=None,
+        batch_size=4,
+        batch_num=1,
+        output_dir=str(tmp_path),
+        uncond_scale=1.0,
+    )
+    gen = X.EXPERIMENTS[kind](session, task, args)
+    assert np.isfinite(gen).all()
+    import os
+
+    assert any(f.endswith(".mid") for f in os.listdir(tmp_path))
+
+
+def test_show_image(tmp_path):
+    from polyffusion_tpu.utils.image import show_image
+
+    img = np.zeros((2, 2, 32, 128), np.float32)
+    img[:, 0, ::4, 60] = 1.0
+    out = str(tmp_path / "roll.png")
+    show_image(img, out)
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_tools_split_surgery(tmp_path):
+    import pickle
+
+    from polyffusion_tpu.tools import remove_from_split
+
+    split = [["a.npz", "b.npz"], ["c.npz"]]
+    path = str(tmp_path / "split.pickle")
+    with open(path, "wb") as f:
+        pickle.dump(split, f)
+    remove_from_split(path, "b.npz")
+    with open(path, "rb") as f:
+        out = pickle.load(f)
+    assert out[0] == ["a.npz"]
+
+
+def test_tools_cleanup(tmp_path):
+    import os
+
+    from polyffusion_tpu.tools import cleanup_checkpoints
+
+    good = tmp_path / "sdf" / "run1" / "chkpts" / "4"
+    good.mkdir(parents=True)
+    bad = tmp_path / "sdf" / "run2"
+    bad.mkdir(parents=True)
+    removed = cleanup_checkpoints(str(tmp_path), assume_yes=True)
+    assert str(bad) in removed
+    assert os.path.isdir(str(good))
+
+
+def test_pop909_import_and_dict_start_tables(tmp_path):
+    """The reference POP909 conversion writes dict start-tables; our loader must
+    consume those npz files directly."""
+    from polyffusion_tpu.tools import pop909_import
+    from polyffusion_tpu.data import SegmentDataset
+
+    rng = np.random.default_rng(0)
+    origin = tmp_path / "origin"
+    origin.mkdir()
+    n_beats = 64
+    beat = np.zeros((n_beats, 6), np.int64)
+    beat[:, 3] = np.arange(n_beats) % 4  # in-bar position; 0 = downbeat
+
+    def track(n):
+        rows = []
+        for _ in range(n):
+            ob = rng.integers(0, n_beats - 2)
+            rows.append([ob, rng.integers(0, 4), 4, ob + 1, rng.integers(0, 4), 4,
+                         rng.integers(40, 90), 80])
+        return np.array(sorted(rows, key=lambda r: (r[0], r[1])))
+
+    chord = np.zeros((n_beats, 14), np.int64)
+    np.savez(
+        str(origin / "001.npz"),
+        melody=track(30), bridge=track(20), piano=track(50),
+        beat=beat, chord=chord,
+    )
+    out = tmp_path / "npz"
+    assert pop909_import(str(origin), str(out)) == 1
+    ds = SegmentDataset.from_dir(str(out))
+    assert len(ds) > 0
+    p2c, pt, chd, pr = ds[0]
+    assert p2c.shape == (2, 128, 128)
+    assert p2c.sum() > 0
+
+
+def test_musicalion_chordless_npz(tmp_path):
+    """Songs without a chord key load with zero chords (musicalion variant)."""
+    from polyffusion_tpu.data.dataset import SongNpz
+
+    notes = np.array([[i * 4, 60 + i % 12, 2, 80, 0] for i in range(64)], np.int64)
+    table = np.searchsorted(notes[:, 0], np.arange(64 * 4 + 129))
+    np.savez(
+        str(tmp_path / "s.npz"),
+        notes=notes,
+        start_table=table,
+        db_pos=np.arange(0, 16 * 16, 16),
+        db_pos_filter=np.ones(16, bool),
+    )
+    song = SongNpz("s.npz", str(tmp_path))
+    p2c, pt, chd, pr = song[0]
+    assert chd.shape == (32, 14) and chd.sum() == 0
+    assert p2c[0].sum() > 0
