@@ -33,6 +33,11 @@ CFG_SCALE = 5.0
 
 def main():
     import jax
+
+    # persistent compile cache: repeat bench runs skip the (minutes-long) TPU compile
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "JAX_CACHE_DIR", "/tmp/jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from polyffusion_tpu.config import load_params

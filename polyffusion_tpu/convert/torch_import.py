@@ -183,6 +183,74 @@ def ddpm_unet_params_from_torch(sd: StateDict) -> Dict:
     return tree
 
 
+def _ae_resblock(tree, prefix, sd, tk):
+    _norm(tree, (prefix, "norm1"), sd, tk + ".norm1", wrapped=True)
+    _conv(tree, (prefix, "conv1"), sd, tk + ".conv1")
+    _norm(tree, (prefix, "norm2"), sd, tk + ".norm2", wrapped=True)
+    _conv(tree, (prefix, "conv2"), sd, tk + ".conv2")
+    if tk + ".nin_shortcut.weight" in sd:
+        _conv(tree, (prefix, "nin_shortcut"), sd, tk + ".nin_shortcut")
+
+
+def _ae_attnblock(tree, prefix, sd, tk):
+    _norm(tree, (prefix, "norm"), sd, tk + ".norm", wrapped=True)
+    for name in ("q", "k", "v", "proj_out"):
+        _conv(tree, (prefix, name), sd, f"{tk}.{name}")
+
+
+def autoencoder_encoder_params_from_torch(sd: StateDict) -> Dict:
+    """Reference KL-autoencoder ``Encoder`` -> flax params (autoencoder.py:112-204)."""
+    tree: Dict = {}
+    _conv(tree, ("conv_in",), sd, "conv_in")
+    i = 0
+    while f"down.{i}.block.0.norm1.weight" in sd:
+        j = 0
+        while f"down.{i}.block.{j}.norm1.weight" in sd:
+            _ae_resblock(tree, f"down_{i}_block_{j}", sd, f"down.{i}.block.{j}")
+            j += 1
+        if f"down.{i}.downsample.conv.weight" in sd:
+            _conv(tree, (f"down_{i}_downsample",), sd, f"down.{i}.downsample.conv")
+        i += 1
+    _ae_resblock(tree, "mid_block_1", sd, "mid.block_1")
+    _ae_attnblock(tree, "mid_attn_1", sd, "mid.attn_1")
+    _ae_resblock(tree, "mid_block_2", sd, "mid.block_2")
+    _norm(tree, ("norm_out",), sd, "norm_out", wrapped=True)
+    _conv(tree, ("conv_out",), sd, "conv_out")
+    return tree
+
+
+def autoencoder_decoder_params_from_torch(sd: StateDict) -> Dict:
+    """Reference KL-autoencoder ``Decoder`` -> flax params (autoencoder.py:207-302)."""
+    tree: Dict = {}
+    _conv(tree, ("conv_in",), sd, "conv_in")
+    _ae_resblock(tree, "mid_block_1", sd, "mid.block_1")
+    _ae_attnblock(tree, "mid_attn_1", sd, "mid.attn_1")
+    _ae_resblock(tree, "mid_block_2", sd, "mid.block_2")
+    i = 0
+    while f"up.{i}.block.0.norm1.weight" in sd:
+        j = 0
+        while f"up.{i}.block.{j}.norm1.weight" in sd:
+            _ae_resblock(tree, f"up_{i}_block_{j}", sd, f"up.{i}.block.{j}")
+            j += 1
+        if f"up.{i}.upsample.conv.weight" in sd:
+            _conv(tree, (f"up_{i}_upsample",), sd, f"up.{i}.upsample.conv")
+        i += 1
+    _norm(tree, ("norm_out",), sd, "norm_out", wrapped=True)
+    _conv(tree, ("conv_out",), sd, "conv_out")
+    return tree
+
+
+def autoencoder_params_from_torch(sd: StateDict) -> Dict:
+    """Full reference ``Autoencoder`` (encoder/decoder/quant convs)."""
+    tree: Dict = {
+        "encoder": autoencoder_encoder_params_from_torch(split_by_prefix(sd, "encoder")),
+        "decoder": autoencoder_decoder_params_from_torch(split_by_prefix(sd, "decoder")),
+    }
+    _conv(tree, ("quant_conv",), sd, "quant_conv")
+    _conv(tree, ("post_quant_conv",), sd, "post_quant_conv")
+    return tree
+
+
 # ---------------------------------------------------------------------------
 # GRU-based conditioning encoders/decoders
 # ---------------------------------------------------------------------------

@@ -1,0 +1,100 @@
+"""Autoencoder training task (reference ``models/model_autoencoder.py`` +
+``train/train_autoencoder.py`` — marked "unused" there; functional here).
+
+Pads the 2-channel prmat2c to ``in_channels`` (reference pads 2->3,
+model_autoencoder.py:18-24) and trains the KL autoencoder.  GAN specifics: both the
+generator (AE) and discriminator parameter groups live in one pytree; the jitted
+step computes generator and discriminator losses with stop-gradients partitioning
+the flow, so one optimizer update trains both adversaries — the TPU-first
+replacement for Lightning's alternating optimizer_idx scheme.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.autoencoder import Autoencoder
+from ..models.losses import (
+    NLayerDiscriminator,
+    ae_discriminator_loss,
+    ae_generator_loss,
+)
+from ..models.unet import nchw_to_nhwc
+
+
+class AutoencoderTask:
+    name = "autoencoder"
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.get("bf16", False) else jnp.float32
+        self.ae = Autoencoder(
+            channels=cfg.get("channels", 64),
+            channel_multipliers=tuple(cfg.get("channel_multipliers", (1, 2, 4, 4))),
+            n_resnet_blocks=cfg.get("n_res_blocks", 2),
+            in_channels=cfg.get("in_channels", 3),
+            out_channels=cfg.get("out_channels", 3),
+            z_channels=cfg.get("z_channels", 4),
+            emb_channels=cfg.get("emb_channels", 4),
+            dtype=dtype,
+        )
+        self.disc = NLayerDiscriminator(dtype=dtype)
+        self.disc_start = int(cfg.get("disc_start", 50001))
+        self.kl_weight = float(cfg.get("kl_weight", 1e-6))
+        self.disc_weight = float(cfg.get("disc_weight", 0.5))
+
+    def _pad_channels(self, prmat2c: jnp.ndarray) -> jnp.ndarray:
+        """(B, 2, H, W) -> NHWC padded to in_channels (model_autoencoder.py:18-24)."""
+        x = nchw_to_nhwc(prmat2c)
+        extra = self.ae.in_channels - x.shape[-1]
+        if extra > 0:
+            x = jnp.concatenate(
+                [x, jnp.zeros((*x.shape[:-1], extra), x.dtype)], axis=-1
+            )
+        return x
+
+    def init_params(self, rng: jax.Array):
+        r1, r2, r3 = jax.random.split(rng, 3)
+        h = self.cfg.get("img_h", 128)
+        img = jnp.zeros((1, h, h, self.ae.in_channels))
+        return {
+            "ae": self.ae.init(r1, img, r2)["params"],
+            "disc": self.disc.init(r3, img)["params"],
+            # per-model learned output log-variance (contperceptual.py logvar)
+            "logvar": jnp.zeros(()),
+        }
+
+    def disc_apply(self, params, x):
+        return self.disc.apply({"params": params}, x)
+
+    def loss_fn(
+        self, params, batch, rng: jax.Array, sched_params: Dict
+    ) -> Tuple[jnp.ndarray, Dict]:
+        step = sched_params.get("global_step", jnp.inf)
+        x = self._pad_channels(batch[0])
+        recon, moments = self.ae.apply({"params": params["ae"]}, x, rng)
+        recon = recon.astype(jnp.float32)
+
+        # generator side: discriminator params frozen
+        g_loss, g_metrics = ae_generator_loss(
+            x,
+            recon,
+            moments,
+            self.disc_apply,
+            jax.lax.stop_gradient(params["disc"]),
+            step,
+            logvar=params["logvar"],
+            disc_start=self.disc_start,
+            kl_weight=self.kl_weight,
+            disc_weight=self.disc_weight,
+        )
+        # discriminator side: ae outputs stop-gradiented inside
+        d_loss, d_metrics = ae_discriminator_loss(
+            x, recon, self.disc_apply, params["disc"], step,
+            disc_start=self.disc_start,
+        )
+        total = g_loss + d_loss
+        return total, {"loss": total, **g_metrics, **d_metrics}

@@ -29,6 +29,7 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=()):
 
     def step(state: TrainState, batch, rng, sched_vals):
         sched_params = dict(zip(sched_keys, sched_vals))
+        sched_params["global_step"] = state.step
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_of(params):
