@@ -48,6 +48,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true", help="resume from output_dir/chkpts")
     p.add_argument("--fresh", action="store_true", help="force a new timestamped subdir")
+    p.add_argument(
+        "--profile_steps",
+        default=None,
+        help="START,STOP step window to capture a jax.profiler trace",
+    )
     args = p.parse_args(argv)
 
     from .config import load_params
@@ -95,6 +100,11 @@ def main(argv=None):
         param_scheduler = ParameterScheduler(tfr_chd=TeacherForcingScheduler(hi, lo))
 
     task = build_task(cfg, args.pretrained_dir)
+    profile_steps = (
+        tuple(int(x) for x in args.profile_steps.split(","))
+        if args.profile_steps
+        else None
+    )
     trainer = Trainer(
         task,
         cfg,
@@ -103,6 +113,7 @@ def main(argv=None):
         param_scheduler=param_scheduler,
         max_steps=args.max_steps,
         log_every=args.log_every,
+        profile_steps=profile_steps,
     )
     print(
         f"[train] model={args.model} devices={len(mesh.devices.flat)} "

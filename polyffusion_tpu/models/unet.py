@@ -112,17 +112,9 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, t, self.n_heads, self.d_head)
         v = v.reshape(b, t, self.n_heads, self.d_head)
 
-        scale = self.d_head**-0.5
-        attn = jnp.einsum(
-            "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
-        )
-        attn = jax.nn.softmax(attn.astype(jnp.float32) * scale, axis=-1)
-        out = jnp.einsum(
-            "bhij,bjhd->bihd",
-            attn.astype(self.dtype),
-            v,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        from ..ops.attention import multihead_attention
+
+        out = multihead_attention(q, k, v, self.d_head**-0.5).astype(x.dtype)
         out = out.reshape(b, s, d_attn)
         return nn.Dense(d_model, dtype=self.dtype, name="to_out")(out)
 

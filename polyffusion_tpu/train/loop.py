@@ -63,6 +63,7 @@ class Trainer:
         max_steps: Optional[int] = None,
         log_every: int = 100,
         keep_checkpoints: int = 3,
+        profile_steps: Optional[tuple] = None,
     ):
         self.task = task
         self.cfg = cfg
@@ -70,6 +71,8 @@ class Trainer:
         self.param_scheduler = param_scheduler
         self.max_steps = max_steps
         self.log_every = log_every
+        # (start, stop) step window traced with jax.profiler into output_dir/profile
+        self.profile_steps = profile_steps
 
         os.makedirs(output_dir, exist_ok=True)
         self.output_dir = output_dir
@@ -150,8 +153,16 @@ class Trainer:
                 self.param_scheduler.train()
             for batch in train_dl:
                 step_i = int(state.step)
+                if self.profile_steps and step_i == self.profile_steps[0]:
+                    jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
                 sched_vals = self._sched_vals(step_i)
                 state, metrics = self.train_step(state, tuple(batch), step_rng, sched_vals)
+                if self.profile_steps and step_i + 1 == self.profile_steps[1]:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), metrics
+                    )
+                    jax.profiler.stop_trace()
+                    print(f"[profile] trace written to {self.output_dir}/profile")
                 if (step_i + 1) % self.log_every == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     if not np.isfinite(metrics["loss"]):
