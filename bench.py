@@ -15,6 +15,9 @@ flash-attention, which the reference disables by default).  The driver-set targe
 is vs_baseline > 10.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Set ``BENCH_METRIC=train`` to measure the secondary metric instead: POP909-shaped
+training step time (batch 16, bf16, Adam) in steps/sec.
 """
 
 import json
@@ -99,5 +102,62 @@ def main():
     )
 
 
+def main_train():
+    """Secondary metric: full training step time on the flagship config."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "JAX_CACHE_DIR", "/tmp/jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from polyffusion_tpu.config import load_params
+    from polyffusion_tpu.data.loader import Batch
+    from polyffusion_tpu.parallel import make_mesh, replicated, shard_batch
+    from polyffusion_tpu.parallel.mesh import init_on_cpu
+    from polyffusion_tpu.tasks import SDFTask
+    from polyffusion_tpu.train import create_state, make_optimizer, make_train_step
+
+    cfg = load_params("sdf_chd8bar")
+    cfg["bf16"] = True
+    b = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    task = SDFTask(cfg)
+    mesh = make_mesh()
+    optimizer = make_optimizer(cfg.learning_rate, cfg.max_grad_norm)
+    train_step = make_train_step(task, optimizer, mesh)
+    rng = jax.random.PRNGKey(0)
+    params = init_on_cpu(task.init_params, rng)
+    state = jax.device_put(create_state(params, optimizer), replicated(mesh))
+    batch = Batch(
+        prmat2c=np.random.default_rng(0).random((b, 2, 128, 128)).astype(np.float32),
+        pnotree=np.zeros((b, 128, 20, 6), np.int64),
+        chord=np.zeros((b, 32, 36), np.float32),
+        prmat=np.zeros((b, 128, 128), np.float32),
+    )
+    batch = shard_batch(batch, mesh)
+    state, metrics = train_step(state, tuple(batch), rng, ())
+    jax.block_until_ready(metrics)
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = train_step(state, tuple(batch), rng, ())
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / n
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_time_batch16",
+                "value": round(dt * 1000, 2),
+                "unit": "ms/step",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_METRIC") == "train":
+        main_train()
+    else:
+        main()

@@ -1,0 +1,104 @@
+"""Checkpoint conversion CLI: reference torch checkpoints -> .npz parameter trees.
+
+    python -m polyffusion_tpu.convert --kind unet --input weights.pt --output unet_params.npz
+    python -m polyffusion_tpu.convert --kind polydis --input model_master_final.pt --output polydis.npz
+
+Kinds: unet (sdf eps-model from legacy .pt / lightning .ckpt), ddpm_unet,
+chd8bar (chord enc+dec), txt_enc, pnotree_enc, pianotree_dec, polydis, autoencoder.
+
+The .npz holds flattened key/value pairs ("a/b/c" -> array); load with
+``polyffusion_tpu.convert.load_params_npz``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from . import torch_import as T
+
+
+def flatten_tree(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten_tree(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def unflatten_tree(flat):
+    tree = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params_npz(tree, path):
+    np.savez_compressed(path, **flatten_tree(tree))
+
+
+def load_params_npz(path):
+    with np.load(path) as f:
+        return unflatten_tree({k: f[k] for k in f.files})
+
+
+def convert(kind: str, input_path: str):
+    sd = T.strip_dataparallel(T.torch_file_to_numpy(input_path))
+
+    def strip_first(prefixes):
+        for p in prefixes:
+            hit = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+            if hit:
+                return hit
+        return sd
+
+    if kind == "unet":
+        return T.unet_params_from_torch(
+            strip_first(("model.ldm.eps_model.", "ldm.eps_model.", "eps_model."))
+        )
+    if kind == "ddpm_unet":
+        return T.ddpm_unet_params_from_torch(
+            strip_first(("model.ddpm.eps_model.", "ddpm.eps_model.", "eps_model."))
+        )
+    if kind == "chd8bar":
+        return {
+            "chord_enc": T.chord_encoder_params_from_torch(T.split_by_prefix(sd, "chord_enc")),
+            "chord_dec": T.chord_decoder_params_from_torch(T.split_by_prefix(sd, "chord_dec")),
+        }
+    if kind == "txt_enc":
+        return T.texture_encoder_params_from_torch(T.split_by_prefix(sd, "rhy_encoder"))
+    if kind == "pnotree_enc":
+        return T.pianotree_encoder_params_from_torch(sd)
+    if kind == "pianotree_dec":
+        return T.pianotree_decoder_params_from_torch(sd)
+    if kind == "polydis":
+        from ..models.polydis import PolyDis
+
+        return PolyDis.params_from_torch_file(input_path)
+    if kind == "autoencoder":
+        return T.autoencoder_params_from_torch(sd)
+    raise ValueError(f"unknown kind: {kind}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--kind", required=True)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    args = p.parse_args(argv)
+    tree = convert(args.kind, args.input)
+    save_params_npz(tree, args.output)
+    n = len(flatten_tree(tree))
+    print(f"converted {args.kind}: {n} tensors -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

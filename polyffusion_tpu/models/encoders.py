@@ -248,39 +248,57 @@ def build_frozen_encoders(cfg, pretrained_dir: Optional[str] = None):
         torch_file_to_numpy,
     )
 
-    def need(fname):
-        assert pretrained_dir, f"pretrained_dir required for {fname}"
-        path = os.path.join(pretrained_dir, fname)
-        if not os.path.exists(path):
+    def need(base, convert_fn):
+        """Load converted params: prefer a pre-converted ``<base>.npz`` (see
+        ``python -m polyffusion_tpu.convert``), else convert a torch ``<base>.pt``."""
+        assert pretrained_dir, f"pretrained_dir required for {base}"
+        npz_path = os.path.join(pretrained_dir, base + ".npz")
+        if os.path.exists(npz_path):
+            from .. convert.__main__ import load_params_npz
+
+            return load_params_npz(npz_path)
+        pt_path = os.path.join(pretrained_dir, base + ".pt")
+        if not os.path.exists(pt_path):
             raise FileNotFoundError(
-                f"pretrained checkpoint not found: {path} "
-                "(convert from the reference's pretrained/ directory)"
+                f"pretrained checkpoint not found: {npz_path} or {pt_path} "
+                "(convert from the reference's pretrained/ directory with "
+                "`python -m polyffusion_tpu.convert`)"
             )
-        return torch_file_to_numpy(path)
+        return convert_fn(torch_file_to_numpy(pt_path))
 
     kwargs = {}
     cond_type = cfg.get("cond_type", "chord")
     if "chord" in cond_type and cfg.get("use_enc", False):
-        sd = need("chd8bar.pt")
+        tree = need(
+            "chd8bar",
+            lambda sd: {
+                "chord_enc": chord_encoder_params_from_torch(
+                    split_by_prefix(sd, "chord_enc")
+                )
+            },
+        )
         kwargs["chord_enc"] = ChordEncoder(
             hidden_dim=cfg.get("chd_hidden_dim", 512), z_dim=cfg.get("chd_z_dim", 512)
         )
-        kwargs["chord_enc_params"] = chord_encoder_params_from_torch(
-            split_by_prefix(sd, "chord_enc")
-        )
+        kwargs["chord_enc_params"] = tree["chord_enc"] if "chord_enc" in tree else tree
     if "txt" in cond_type and cfg.get("use_enc", False):
-        sd = need("polydis.pt")
+        tree = need(
+            "polydis",
+            lambda sd: {
+                "rhy_encoder": texture_encoder_params_from_torch(
+                    split_by_prefix(sd, "rhy_encoder")
+                )
+            },
+        )
         kwargs["txt_enc"] = TextureEncoder(
             emb_size=cfg.get("txt_emb_size", 256),
             hidden_dim=cfg.get("txt_hidden_dim", 1024),
             z_dim=cfg.get("txt_z_dim", 256),
             num_channel=cfg.get("txt_num_channel", 10),
         )
-        kwargs["txt_enc_params"] = texture_encoder_params_from_torch(
-            split_by_prefix(sd, "rhy_encoder")
-        )
+        kwargs["txt_enc_params"] = tree.get("rhy_encoder", tree)
     if cond_type == "pnotree":
-        sd = need("pnotree.pt")
+        tree = need("pnotree", pianotree_encoder_params_from_torch)
         kwargs["pnotree_enc"] = PianoTreeEncoder()
-        kwargs["pnotree_enc_params"] = pianotree_encoder_params_from_torch(sd)
+        kwargs["pnotree_enc_params"] = tree
     return kwargs

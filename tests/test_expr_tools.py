@@ -175,3 +175,23 @@ def test_musicalion_chordless_npz(tmp_path):
     p2c, pt, chd, pr = song[0]
     assert chd.shape == (32, 14) and chd.sum() == 0
     assert p2c[0].sum() > 0
+
+
+def test_frozen_encoders_from_converted_npz(tmp_path):
+    """build_frozen_encoders consumes pre-converted .npz checkpoints."""
+    import jax.numpy as jnp
+
+    from polyffusion_tpu.convert.__main__ import save_params_npz
+    from polyffusion_tpu.models.encoders import ChordEncoder, build_frozen_encoders
+
+    enc = ChordEncoder(hidden_dim=512, z_dim=512)
+    params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 36)))["params"]
+    save_params_npz({"chord_enc": params}, str(tmp_path / "chd8bar.npz"))
+
+    cfg = Params(cond_type="chord", use_enc=True, chd_hidden_dim=512, chd_z_dim=512)
+    kwargs = build_frozen_encoders(cfg, str(tmp_path))
+    assert "chord_enc" in kwargs and "chord_enc_params" in kwargs
+    mu, std = kwargs["chord_enc"].apply(
+        {"params": kwargs["chord_enc_params"]}, jnp.zeros((2, 32, 36))
+    )
+    assert mu.shape == (2, 512)
