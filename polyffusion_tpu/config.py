@@ -56,3 +56,19 @@ def available_presets() -> list:
     return sorted(
         f[:-5] for f in os.listdir(PARAMS_DIR) if f.endswith(".yaml")
     )
+
+
+def convert_json_to_yaml(params_path: str, delete_old: bool = False) -> str:
+    """Migrate a legacy .json params file to .yaml (reference ``utils.py:600-611``,
+    non-interactive).  Returns the (possibly new) path."""
+    if params_path.endswith(".json"):
+        import json
+
+        with open(params_path) as f:
+            params = json.load(f)
+        new_path = params_path[:-5] + ".yaml"
+        save_params(params, new_path)
+        if delete_old:
+            os.remove(params_path)
+        return new_path
+    return params_path
