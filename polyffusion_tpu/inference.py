@@ -197,6 +197,16 @@ class InferenceSession:
 
         key = (uncond_scale, self.use_ddim, self.repaint_n)
         if key not in self._paint_cache:
+            concat_blurry = getattr(self.task, "concat_blurry", False)
+            concat_ratio = getattr(self.task, "concat_ratio", 0.25)
+
+            def cond_concat_of(orig):
+                if not concat_blurry:
+                    return None
+                from .tasks.sdf import blurry_image
+
+                return blurry_image(orig, concat_ratio)
+
             if self.use_ddim:
 
                 def paint(params, x, cond, rng, orig, mask, orig_noise, uncond_cond):
@@ -213,6 +223,7 @@ class InferenceSession:
                         orig_noise=orig_noise,
                         uncond_scale=uncond_scale,
                         uncond_cond=uncond_cond,
+                        cond_concat=cond_concat_of(orig),
                     )
 
             else:
@@ -231,6 +242,7 @@ class InferenceSession:
                         mask=mask,
                         uncond_scale=uncond_scale,
                         uncond_cond=uncond_cond,
+                        cond_concat=cond_concat_of(orig),
                         repaint_n=self.repaint_n,
                     )
 

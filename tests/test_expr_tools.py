@@ -195,3 +195,28 @@ def test_frozen_encoders_from_converted_npz(tmp_path):
         {"params": kwargs["chord_enc_params"]}, jnp.zeros((2, 32, 36))
     )
     assert mu.shape == (2, 512)
+
+
+def test_concat_blurry_task_and_inference():
+    """sdf_concat: blurry-image channel conditioning trains and samples."""
+    import jax.numpy as jnp
+
+    cfg = Params({**TINY_CFG, "in_channels": 4, "concat_blurry": True,
+                  "concat_ratio": 0.25, "cond_mode": "uncond"})
+    task = SDFTask(cfg)
+    params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+    batch = (
+        jnp.zeros((2, 2, 128, 128)).at[:, 0, ::8, 60].set(1.0),
+        jnp.zeros((2, 128, 20, 6), jnp.int64),
+        jnp.zeros((2, 32, 36)),
+        jnp.zeros((2, 128, 128)),
+    )
+    loss, _ = task.loss_fn(params, batch, jax.random.PRNGKey(1), {})
+    assert np.isfinite(float(loss))
+
+    session = InferenceSession(task, params, use_ddim=True, ddim_steps=2)
+    cond = np.zeros((1, 1, cfg.d_cond), np.float32)
+    orig = np.zeros((1, 2, 128, 128), np.float32)
+    orig[:, 0, ::8, 60] = 1.0
+    gen, _ = session.inpaint(orig, "bars", cond, bar_list=[2, 3], no_output=True)
+    assert gen.shape == (1, 2, 128, 128) and np.isfinite(gen).all()
