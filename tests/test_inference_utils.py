@@ -1,0 +1,58 @@
+"""Pure-function tests for inference utilities: masks and autoreg windowing."""
+
+import numpy as np
+
+from polyffusion_tpu.inference import get_autoreg_data, get_mask
+from polyffusion_tpu.utils.reprs import nmat_to_prmat2c
+
+
+def test_mask_below_keeps_melody_and_above():
+    # melody at pitch 70 for every step
+    nmat = np.array([[t, 70, 1] for t in range(128)], np.int64)
+    orig = nmat_to_prmat2c(nmat, 128)[None]
+    mask = get_mask(orig, "below")
+    assert mask.shape == orig.shape
+    # keep (mask=1) everything at/above pitch 70; regenerate below
+    assert (mask[0, 0, :, 70:] == 1).all()
+    assert (mask[0, 0, :, :70] == 0).all()
+    # both channels identical
+    np.testing.assert_array_equal(mask[0, 0], mask[0, 1])
+
+
+def test_mask_below_forward_fills_empty_steps():
+    nmat = np.array([[t, 60, 1] for t in range(0, 128, 16)], np.int64)
+    orig = nmat_to_prmat2c(nmat, 128)[None]
+    mask = get_mask(orig, "below")
+    # steps with no notes inherit the previous step's boundary
+    assert (mask[0, 0, 5, 60:] == 1).all()
+    assert (mask[0, 0, 5, :60] == 0).all()
+
+
+def test_mask_above_keeps_accompaniment_and_below():
+    nmat = np.array([[t, 50, 1] for t in range(128)], np.int64)
+    orig = nmat_to_prmat2c(nmat, 128)[None]
+    mask = get_mask(orig, "above")
+    assert (mask[0, 0, :, : 50 + 1] == 1).all()
+    assert (mask[0, 0, :, 51:] == 0).all()
+
+
+def test_mask_bars():
+    orig = np.zeros((2, 2, 128, 128), np.float32)
+    mask = get_mask(orig, "bars", bar_list=[0, 3])
+    assert (mask[:, :, 0:16] == 0).all()
+    assert (mask[:, :, 48:64] == 0).all()
+    assert (mask[:, :, 16:48] == 1).all()
+
+
+def test_mask_remaining_is_the_notes():
+    nmat = np.array([[0, 60, 2]], np.int64)
+    orig = nmat_to_prmat2c(nmat, 128)[None]
+    np.testing.assert_array_equal(get_mask(orig, "remaining"), orig)
+
+
+def test_autoreg_mid_windows():
+    """mid[i] = [second half of seg i | first half of seg i+1] (roll trick)."""
+    data = np.arange(3 * 8).reshape(3, 8).astype(float)  # 3 segments of 8 steps
+    mid = get_autoreg_data(data, axis=1)
+    np.testing.assert_array_equal(mid[0], np.concatenate([data[0, 4:], data[1, :4]]))
+    np.testing.assert_array_equal(mid[1], np.concatenate([data[1, 4:], data[2, :4]]))
