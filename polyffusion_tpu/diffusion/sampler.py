@@ -51,10 +51,18 @@ def make_eps_fn(
             return run(x, t, cond)
         if uncond_scale == 0.0:
             return run(x, t, uncond_cond)
-        x_in = jnp.concatenate([x, x], axis=0)
-        t_in = jnp.concatenate([t, t], axis=0)
         c_in = jnp.concatenate([uncond_cond, cond], axis=0)
-        e = run(x_in, t_in, c_in)
+        if getattr(apply_fn, "supports_cfg_fork", False):
+            # fork inside the UNet: the cond-independent high-resolution prefix is
+            # computed once (numerically identical to the double-batched call)
+            xx = x
+            if cond_concat is not None:
+                xx = jnp.concatenate([xx, cond_concat.astype(xx.dtype)], axis=-1)
+            e = apply_fn(params, xx, t, c_in, cfg_fork=True)
+        else:
+            x_in = jnp.concatenate([x, x], axis=0)
+            t_in = jnp.concatenate([t, t], axis=0)
+            e = run(x_in, t_in, c_in)
         e_uncond, e_cond = jnp.split(e, 2, axis=0)
         return e_uncond + uncond_scale * (e_cond - e_uncond)
 

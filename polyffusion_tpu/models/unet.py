@@ -248,8 +248,17 @@ class UNetModel(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, time_steps: jnp.ndarray, cond: jnp.ndarray
+        self,
+        x: jnp.ndarray,
+        time_steps: jnp.ndarray,
+        cond: jnp.ndarray,
+        cfg_fork: bool = False,
     ) -> jnp.ndarray:
+        """With ``cfg_fork=True``, ``x``/``time_steps`` carry batch B while ``cond``
+        carries 2B (= [uncond | cond]); everything before the first cross-attention
+        is computed ONCE and duplicated at the fork point — numerically identical to
+        the reference's double-batched CFG call (sampler/__init__.py:69-77) at a
+        fraction of the high-resolution conv cost."""
         levels = len(self.channel_multipliers)
         d_time_emb = self.channels * 4
 
@@ -264,7 +273,20 @@ class UNetModel(nn.Module):
         x = x.astype(self.dtype)
 
         # --- input half -----------------------------------------------------
+        state = {"forked": not cfg_fork}
         skips = []
+
+        def tile2(a):
+            return jnp.concatenate([a, a], axis=0)
+
+        def maybe_fork():
+            nonlocal h, t_emb, skips
+            if not state["forked"]:
+                h = tile2(h)
+                t_emb = tile2(t_emb)
+                skips = [tile2(s) for s in skips]
+                state["forked"] = True
+
         h = _conv3x3(self.channels, self.dtype, "input_blocks_0_0")(x)
         skips.append(h)
         block_idx = 1
@@ -275,6 +297,7 @@ class UNetModel(nn.Module):
                     channels_list[i], self.dtype, name=f"input_blocks_{block_idx}_0"
                 )(h, t_emb)
                 if i in self.attention_levels:
+                    maybe_fork()
                     h = SpatialTransformer(
                         self.n_heads,
                         self.tf_layers,
@@ -289,6 +312,7 @@ class UNetModel(nn.Module):
                 block_idx += 1
 
         # --- middle -----------------------------------------------------------
+        maybe_fork()
         h = ResBlock(h.shape[-1], self.dtype, name="middle_block_0")(h, t_emb)
         h = SpatialTransformer(
             self.n_heads, self.tf_layers, self.dtype, name="middle_block_1"

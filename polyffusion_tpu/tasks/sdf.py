@@ -163,8 +163,11 @@ class SDFTask:
         )
         return variables["params"]
 
-    def apply_eps(self, params, x, t, cond):
-        return self.unet.apply({"params": params}, x, t, cond)
+    def apply_eps(self, params, x, t, cond, cfg_fork: bool = False):
+        return self.unet.apply({"params": params}, x, t, cond, cfg_fork=cfg_fork)
+
+    # samplers fork CFG inside the UNet (compute shared prefix once)
+    apply_eps.supports_cfg_fork = True
 
     def loss_fn(
         self, params, batch, rng: jax.Array, sched_params: Dict

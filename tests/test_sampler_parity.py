@@ -243,3 +243,45 @@ def test_ddim_paint_parity(models):
         uncond_scale=1.0,
     )
     np.testing.assert_allclose(_nchw(got), want, atol=2e-3, rtol=1e-3)
+
+
+def test_ddpm_sample_cfg_fork_trajectory_parity(models):
+    """The in-UNet CFG fork must reproduce the reference trajectory too."""
+    ldm, params, apply_fn, sch = models
+    from polyffusion_tpu.models.unet import UNetModel as JUNet
+
+    jm = JUNet(**{**TINY, "attention_levels": (1,), "channel_multipliers": (1, 2)})
+
+    def forked_apply(p, x, t, c, cfg_fork=False):
+        return jm.apply({"params": p}, x, t, c, cfg_fork=cfg_fork)
+
+    forked_apply.supports_cfg_fork = True
+
+    rng = np.random.default_rng(11)
+    x_t = rng.standard_normal((2, 2, 16, 16), dtype=np.float32)
+    cond = rng.standard_normal((2, 1, 12), dtype=np.float32)
+    uncond = -np.ones_like(cond)
+
+    sampler = SDFSampler(ldm)
+    with torch.no_grad():
+        want = sampler.sample(
+            [2, 2, 16, 16],
+            torch.from_numpy(cond),
+            temperature=0.0,
+            x_last=torch.from_numpy(x_t),
+            uncond_scale=5.0,
+            uncond_cond=torch.from_numpy(uncond),
+        ).numpy()
+
+    got = S.ddpm_sample(
+        forked_apply,
+        params,
+        sch,
+        _nhwc(x_t),
+        jnp.asarray(cond),
+        jax.random.PRNGKey(0),
+        uncond_scale=5.0,
+        uncond_cond=jnp.asarray(uncond),
+        temperature=0.0,
+    )
+    np.testing.assert_allclose(_nchw(got), want, atol=5e-3, rtol=1e-3)

@@ -86,3 +86,30 @@ def test_converted_tree_matches_init_structure():
         key = jax.tree_util.keystr(path)
         assert key in flat_conv, f"missing converted param {key}"
         assert flat_conv[key].shape == leaf.shape, f"shape mismatch at {key}"
+
+
+def test_cfg_fork_equals_double_batch():
+    """cfg_fork computes the shared prefix once — outputs must be IDENTICAL to the
+    plain double-batched call."""
+    torch.manual_seed(3)
+    tm = TorchUNet(**TINY)
+    params = unet_params_from_torch(torch_state_to_numpy(tm))
+    jm = UNetModel(**{**TINY, "attention_levels": (1,), "channel_multipliers": (1, 2)})
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 2)).astype(np.float32))
+    t = jnp.asarray(np.array([5, 40], np.int32))
+    cond = jnp.asarray(rng.standard_normal((2, 3, 12)).astype(np.float32))
+    uncond = -jnp.ones_like(cond)
+    c_in = jnp.concatenate([uncond, cond], axis=0)
+
+    plain = jm.apply(
+        {"params": params},
+        jnp.concatenate([x, x], 0),
+        jnp.concatenate([t, t], 0),
+        c_in,
+    )
+    forked = jm.apply({"params": params}, x, t, c_in, cfg_fork=True)
+    # same math evaluated once vs twice; XLA tiles differently per batch size, so
+    # agreement is to float32 reassociation noise, not bitwise
+    np.testing.assert_allclose(np.asarray(forked), np.asarray(plain), atol=1e-5)
