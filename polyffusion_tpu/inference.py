@@ -525,6 +525,12 @@ def main(argv=None):
         help="re-render outputs through the pretrained PolyDis VAE (aftertouch)",
     )
     p.add_argument("--polydis_path", default=None, help="PolyDis torch checkpoint")
+    p.add_argument(
+        "--dump_images",
+        action="store_true",
+        help="save piano-roll PNGs of outputs + a q-noise sequence of the source "
+        "(reference show_image / show_q_imgs)",
+    )
     args = p.parse_args(argv)
 
     # resolve params: run dir's params.yaml, or preset name
@@ -567,6 +573,29 @@ def main(argv=None):
 
     cond, cond_mid, prmat2c = song_conditions(task, song_data, args.length, args.autoreg)
     label = cfg.get("model_name", "sdf")
+
+    if args.dump_images:
+        # q-noise visualization sequence (reference Experiments.show_q_imgs,
+        # inference_sdf.py:392-400): dump x0 and q_sample(x0, t) at intervals
+        import jax
+
+        from .diffusion.gaussian import q_sample_step
+        from .utils.image import show_image
+
+        img_dir = os.path.join(args.output_dir, "img")
+        os.makedirs(img_dir, exist_ok=True)
+        src = np.transpose(prmat2c[:1], (0, 2, 3, 1))
+        show_image(prmat2c[:1], os.path.join(img_dir, "q0.png"))
+        key = jax.random.PRNGKey(args.seed)
+        for step in range(0, session.schedule.n_steps, max(session.schedule.n_steps // 10, 1)):
+            noised = q_sample_step(
+                session.schedule, src, step,
+                np.asarray(jax.random.normal(key, src.shape)),
+            )
+            show_image(
+                np.transpose(np.asarray(noised), (0, 3, 1, 2)),
+                os.path.join(img_dir, f"q{step + 1}.png"),
+            )
 
     aftertouch = None
     if args.polydis_recon:
