@@ -179,7 +179,12 @@ class SDFTask:
         cond_concat = None
         if self.concat_blurry:
             cond_concat = blurry_image(x0, self.concat_ratio)
+        apply = self.apply_eps
+        if self.cfg.get("remat", False):
+            # rematerialize UNet activations in the backward pass — trades FLOPs
+            # for HBM, allowing much larger global batches per chip
+            apply = jax.checkpoint(self.apply_eps, static_argnums=())
         loss = diffusion_loss(
-            self.apply_eps, params, self.schedule, x0, cond, loss_rng, cond_concat
+            apply, params, self.schedule, x0, cond, loss_rng, cond_concat
         )
         return loss, {"loss": loss}

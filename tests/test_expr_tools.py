@@ -220,3 +220,26 @@ def test_concat_blurry_task_and_inference():
     orig[:, 0, ::8, 60] = 1.0
     gen, _ = session.inpaint(orig, "bars", cond, bar_list=[2, 3], no_output=True)
     assert gen.shape == (1, 2, 128, 128) and np.isfinite(gen).all()
+
+
+def test_remat_training_step_matches():
+    """remat=True must give the same loss (and finite grads) as remat=False."""
+    import jax.numpy as jnp
+
+    batch = (
+        jnp.zeros((2, 2, 128, 128)).at[:, 0, ::8, 60].set(1.0),
+        jnp.zeros((2, 128, 20, 6), jnp.int64),
+        jnp.zeros((2, 32, 36)),
+        jnp.zeros((2, 128, 128)),
+    )
+    losses = []
+    for remat in (False, True):
+        cfg = Params({**TINY_CFG, "remat": remat})
+        task = SDFTask(cfg)
+        params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+        loss, _ = task.loss_fn(params, batch, jax.random.PRNGKey(1), {})
+        g = jax.grad(lambda p: task.loss_fn(p, batch, jax.random.PRNGKey(1), {})[0])(params)
+        gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+        losses.append((float(loss), gnorm))
+    assert abs(losses[0][0] - losses[1][0]) < 1e-5
+    assert np.isfinite(losses[1][1]) and losses[1][1] > 0
