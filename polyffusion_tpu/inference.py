@@ -155,10 +155,18 @@ class InferenceSession:
         ddim_discretize: str = "uniform",
         repaint_n: int = 1,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: optional dp mesh — batch-shards sampling across devices
+        (params replicated); batch must divide the mesh size."""
         import jax
 
         self.task = task
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import replicated
+
+            params = jax.device_put(params, replicated(mesh))
         self.params = params
         self.cfg = task.cfg
         self.use_ddim = use_ddim
@@ -284,17 +292,25 @@ class InferenceSession:
         noise = np.asarray(jax.random.normal(self._next_rng(), shape, jnp.float32))
         paint = self._paint_fn(uncond_scale)
 
+        def put(a):
+            a = jnp.asarray(a)
+            if self.mesh is not None and not autoreg and a.ndim >= 1:
+                from .parallel.mesh import batch_sharding
+
+                return jax.device_put(a, batch_sharding(self.mesh))
+            return a
+
         if not autoreg:
-            xt = self._q_sample_start(jnp.asarray(orig_nhwc), jnp.asarray(noise))
+            xt = self._q_sample_start(put(orig_nhwc), put(noise))
             gen = paint(
                 self.params,
                 xt,
-                jnp.asarray(cond),
+                put(cond),
                 self._next_rng(),
-                jnp.asarray(orig_nhwc),
-                jnp.asarray(mask_nhwc),
-                jnp.asarray(noise),
-                jnp.asarray(uncond_cond),
+                put(orig_nhwc),
+                put(mask_nhwc),
+                put(noise),
+                put(uncond_cond),
             )
             return np.transpose(np.asarray(gen), (0, 3, 1, 2))
 
