@@ -122,7 +122,17 @@ def main_train():
     cfg = load_params("sdf_chd8bar")
     cfg["bf16"] = True
     b = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
-    task = SDFTask(cfg)
+    # flagship workload incl. the frozen chord encoder (random-init weights —
+    # speed is weight-independent)
+    from polyffusion_tpu.models.encoders import ChordEncoder
+    import jax.numpy as jnp2
+
+    chord_enc = ChordEncoder(hidden_dim=cfg.chd_hidden_dim, z_dim=cfg.chd_z_dim)
+    enc_params = init_on_cpu(
+        lambda r: chord_enc.init(r, jnp2.zeros((1, 32, 36)))["params"],
+        jax.random.PRNGKey(1),
+    )
+    task = SDFTask(cfg, chord_enc=chord_enc, chord_enc_params=enc_params)
     mesh = make_mesh()
     optimizer = make_optimizer(cfg.learning_rate, cfg.max_grad_norm)
     train_step = make_train_step(task, optimizer, mesh)
