@@ -533,6 +533,21 @@ def main(argv=None):
     p.add_argument("--split_file", default=None, help="pickled (train, val) split; choose from val")
     p.add_argument("--song_index", type=int, default=0, help="index into the val split")
     p.add_argument("--from_midi", default=None, help="condition from an arbitrary MIDI file")
+    p.add_argument(
+        "--from_midi2",
+        default=None,
+        help="texture source MIDI for chord+txt models (reference --from_midi2)",
+    )
+    p.add_argument(
+        "--inpaint_from_midi",
+        default=None,
+        help="MIDI supplying the song to be inpainted (default: the conditioning song)",
+    )
+    p.add_argument(
+        "--inpaint_song_fn",
+        default=None,
+        help="npz song (in --data_dir) to be inpainted",
+    )
     p.add_argument("--pretrained_dir", default=None, help="dir with pretrained encoder checkpoints")
     p.add_argument("--output_dir", default="exp")
     p.add_argument(
@@ -587,7 +602,31 @@ def main(argv=None):
         assert song_fn, "--song_fn or --split_file required"
         song_data = SongNpz(song_fn, args.data_dir).get_whole_song_data()
 
+    # chord+txt: optionally take the texture (prmat) from a second MIDI
+    if args.from_midi2 and task.cond_type == "chord+txt":
+        from .data.midi_to_data import song_from_midi
+
+        song2 = song_from_midi(args.from_midi2).get_whole_song_data()
+        n = min(song_data[0].shape[0], song2[0].shape[0])
+        song_data = (song_data[0][:n], song_data[1][:n], song_data[2][:n], song2[3][:n])
+
     cond, cond_mid, prmat2c = song_conditions(task, song_data, args.length, args.autoreg)
+
+    # inpainting source may come from a different song/MIDI (reference
+    # --inpaint_from_midi, inference_sdf.py:569-591)
+    if args.inpaint_from_midi or args.inpaint_song_fn:
+        if args.inpaint_from_midi:
+            from .data.midi_to_data import song_from_midi
+
+            inp_song = song_from_midi(args.inpaint_from_midi)
+        else:
+            inp_song = SongNpz(args.inpaint_song_fn, args.data_dir)
+        prmat2c_inp = inp_song.get_whole_song_data()[0]
+        n = min(len(cond), prmat2c_inp.shape[0])
+        cond, prmat2c = cond[:n], prmat2c_inp[:n]
+        if cond_mid is not None:
+            cond_mid = cond_mid[: max(n - 1, 0)]
+
     label = cfg.get("model_name", "sdf")
 
     if args.dump_images:
