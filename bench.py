@@ -125,11 +125,10 @@ def main_train():
     # flagship workload incl. the frozen chord encoder (random-init weights —
     # speed is weight-independent)
     from polyffusion_tpu.models.encoders import ChordEncoder
-    import jax.numpy as jnp2
 
     chord_enc = ChordEncoder(hidden_dim=cfg.chd_hidden_dim, z_dim=cfg.chd_z_dim)
     enc_params = init_on_cpu(
-        lambda r: chord_enc.init(r, jnp2.zeros((1, 32, 36)))["params"],
+        lambda r: chord_enc.init(r, jnp.zeros((1, 32, 36)))["params"],
         jax.random.PRNGKey(1),
     )
     task = SDFTask(cfg, chord_enc=chord_enc, chord_enc_params=enc_params)

@@ -51,10 +51,19 @@ def make_eps_fn(
             return run(x, t, cond)
         if uncond_scale == 0.0:
             return run(x, t, uncond_cond)
+        import os
+
         c_in = jnp.concatenate([uncond_cond, cond], axis=0)
-        if getattr(apply_fn, "supports_cfg_fork", False):
+        if (
+            getattr(apply_fn, "supports_cfg_fork", False)
+            and os.environ.get("POLYFF_CFG_FORK") == "1"
+        ):
             # fork inside the UNet: the cond-independent high-resolution prefix is
-            # computed once (numerically identical to the double-batched call)
+            # computed once (numerically identical to the double-batched call).
+            # Off by default: measured ~1.5% SLOWER than plain double-batching on
+            # v5e (9.22 vs 9.35 samples/s) — the activation duplication at the
+            # fork point costs more bandwidth than the skipped prefix saves at
+            # this model size; it does lower peak memory, hence the env switch.
             xx = x
             if cond_concat is not None:
                 xx = jnp.concatenate([xx, cond_concat.astype(xx.dtype)], axis=-1)

@@ -292,11 +292,11 @@ class InferenceSession:
         noise = np.asarray(jax.random.normal(self._next_rng(), shape, jnp.float32))
         paint = self._paint_fn(uncond_scale)
 
+        from .parallel.mesh import batch_sharding
+
         def put(a):
             a = jnp.asarray(a)
             if self.mesh is not None and not autoreg and a.ndim >= 1:
-                from .parallel.mesh import batch_sharding
-
                 return jax.device_put(a, batch_sharding(self.mesh))
             return a
 
@@ -643,9 +643,10 @@ def main(argv=None):
         show_image(prmat2c[:1], os.path.join(img_dir, "q0.png"))
         key = jax.random.PRNGKey(args.seed)
         for step in range(0, session.schedule.n_steps, max(session.schedule.n_steps // 10, 1)):
+            key, sub = jax.random.split(key)
             noised = q_sample_step(
                 session.schedule, src, step,
-                np.asarray(jax.random.normal(key, src.shape)),
+                np.asarray(jax.random.normal(sub, src.shape)),
             )
             show_image(
                 np.transpose(np.asarray(noised), (0, 3, 1, 2)),

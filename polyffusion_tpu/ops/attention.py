@@ -47,7 +47,7 @@ def _einsum_attention(q, k, v, scale, compute_dtype):
     )
     acc = jnp.bfloat16 if fast else jnp.float32
     attn = jnp.einsum("bihd,bjhd->bhij", q, k, preferred_element_type=acc)
-    attn = jax.nn.softmax(attn.astype(acc) * acc(scale), axis=-1)
+    attn = jax.nn.softmax(attn.astype(acc) * jnp.asarray(scale, acc), axis=-1)
     return jnp.einsum(
         "bhij,bjhd->bihd",
         attn.astype(compute_dtype),

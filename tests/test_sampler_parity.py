@@ -245,8 +245,9 @@ def test_ddim_paint_parity(models):
     np.testing.assert_allclose(_nchw(got), want, atol=2e-3, rtol=1e-3)
 
 
-def test_ddpm_sample_cfg_fork_trajectory_parity(models):
+def test_ddpm_sample_cfg_fork_trajectory_parity(models, monkeypatch):
     """The in-UNet CFG fork must reproduce the reference trajectory too."""
+    monkeypatch.setenv("POLYFF_CFG_FORK", "1")
     ldm, params, apply_fn, sch = models
     from polyffusion_tpu.models.unet import UNetModel as JUNet
 
