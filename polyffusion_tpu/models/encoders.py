@@ -264,7 +264,12 @@ def build_frozen_encoders(cfg, pretrained_dir: Optional[str] = None):
     def need(base, convert_fn):
         """Load converted params: prefer a pre-converted ``<base>.npz`` (see
         ``python -m polyffusion_tpu.convert``), else convert a torch ``<base>.pt``."""
-        assert pretrained_dir, f"pretrained_dir required for {base}"
+        if not pretrained_dir:
+            raise FileNotFoundError(
+                f"this config needs the pretrained '{base}' encoder — pass "
+                "--pretrained_dir with converted checkpoints "
+                "(`python -m polyffusion_tpu.convert`)"
+            )
         npz_path = os.path.join(pretrained_dir, base + ".npz")
         if os.path.exists(npz_path):
             from .. convert.__main__ import load_params_npz
