@@ -22,11 +22,10 @@ import numpy as np
 
 from .config import Params, load_params
 from .data.dataset import SongNpz
-from .diffusion import make_ddim_schedule, make_schedule
+from .diffusion import make_ddim_schedule
 from .diffusion import sampler as S
 from .tasks.sdf import SDFTask
 from .utils.midi_io import prmat2c_to_midi_file
-from .utils.reprs import chd_to_onehot
 
 
 # ---------------------------------------------------------------------------
@@ -477,7 +476,6 @@ def _main_ddpm(cfg, args):
     import jax
     import jax.numpy as jnp
 
-    from .diffusion import make_ddim_schedule
     from .diffusion import sampler as S
     from .tasks.ddpm import DDPMTask
     from .convert.torch_import import ddpm_unet_params_from_torch

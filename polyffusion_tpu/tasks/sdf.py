@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from ..diffusion.gaussian import diffusion_loss
 from ..diffusion.schedule import make_schedule
 from ..models.unet import UNetModel, nchw_to_nhwc
-from .base import Task
 
 
 def blurry_image(x_nhwc: jnp.ndarray, ratio: float = 0.25) -> jnp.ndarray:

@@ -8,7 +8,6 @@ dynamic scalars (no recompilation).
 
 from __future__ import annotations
 
-import math
 from typing import Dict
 
 
