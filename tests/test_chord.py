@@ -191,3 +191,32 @@ def test_prepare_data_cli(tmp_path):
     assert len(ds) > 0
     p2c, pt, chd, pr = ds[0]
     assert p2c.shape == (2, 128, 128)
+
+
+def test_recognizer_multitrack_with_drums(tmp_path):
+    """Channel reweighting: bass channel forced to weight 1, drums ignored."""
+    from polyffusion_tpu.utils.midi import Instrument, MidiFile, Note, TimeSignature, save_midi
+
+    melody = Instrument(program=0)
+    bass = Instrument(program=32)
+    drums = Instrument(program=0, is_drum=True)
+    for beat in range(16):
+        t = beat * 0.5
+        melody.notes.append(Note(t, t + 0.5, 64 + (beat % 3), 80))  # E area
+        bass.notes.append(Note(t, t + 0.5, 36, 90))  # low C
+        drums.notes.append(Note(t, t + 0.1, 40, 100))
+    for beat in range(16):  # sustained C major triad in the melody channel
+        t = beat * 0.5
+        for p in (60, 64, 67):
+            melody.notes.append(Note(t, t + 0.5, p, 70))
+    mf = MidiFile(
+        instruments=[melody, bass, drums],
+        time_signatures=[TimeSignature(4, 4, 0.0, 0)],
+    )
+    path = str(tmp_path / "band.mid")
+    save_midi(mf, path)
+    rows = transcribe_midi(path)
+    assert rows
+    # C in the bass should pull the root/bass toward C
+    labels = [lab for _, _, lab in rows]
+    assert any(lab.startswith("C:") for lab in labels), labels

@@ -263,3 +263,15 @@ def test_mesh_sharded_sampling():
     session2 = InferenceSession(task, params, use_ddim=True, ddim_steps=2)
     gen2 = session2.predict(cond, uncond_scale=3.0)
     np.testing.assert_allclose(gen, gen2, atol=2e-4)
+
+
+def test_generation_determinism():
+    """Same seed -> identical samples; different seed -> different samples."""
+    task = SDFTask(TINY_CFG)
+    params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+    cond = np.zeros((2, 1, TINY_CFG.d_cond), np.float32)
+    a = InferenceSession(task, params, use_ddim=True, ddim_steps=2, seed=7).predict(cond)
+    b = InferenceSession(task, params, use_ddim=True, ddim_steps=2, seed=7).predict(cond)
+    c = InferenceSession(task, params, use_ddim=True, ddim_steps=2, seed=8).predict(cond)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-3
