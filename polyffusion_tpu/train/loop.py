@@ -213,7 +213,9 @@ class Trainer:
             losses.append(float(metrics["loss"]))
             n += 1
         if n == 0:
-            return float("inf")
+            # empty val split: report a large sentinel (keeps checkpoint metrics
+            # JSON-serializable, unlike inf)
+            return 1e30
         mean = {k: v / n for k, v in agg.items()}
         print(f"epoch {epoch} val loss {mean['loss']:.5f}")
         self.logger.log(
