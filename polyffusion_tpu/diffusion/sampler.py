@@ -209,16 +209,47 @@ def ddpm_paint(
     else:
         noises = noise_override
 
+    from ..ops.pallas_sampler import fused_repaint_epilogue, pallas_epilogue_enabled
+
+    use_pallas_epilogue = pallas_epilogue_enabled()
+
     def body(x_t, inp):
         step, noise_u = inp
         x_out = x_t
         for u in range(repaint_n):  # static unroll; repaint_n is small
-            q_noise = jnp.where(step > 0, noise_u[u, 0], jnp.zeros_like(noise_u[u, 0]))
-            x_known = tbl.sqrt_alpha_bar[step] * orig + tbl.sqrt_1m_alpha_bar[step] * q_noise
-            x_unknown = _ddpm_step(
-                tbl, eps_fn, params, x_t, cond, step, noise_u[u, 1], cond_concat
-            )
-            x_out = x_known * mask + x_unknown * (1.0 - mask)
+            if use_pallas_epilogue:
+                # single fused VMEM pass for the whole post-eps update
+                bsz = x_t.shape[0]
+                ts = jnp.full((bsz,), step, dtype=jnp.int32)
+                e_t = eps_fn(params, x_t, ts, cond, cond_concat).astype(x_t.dtype)
+                zero = jnp.float32(0.0)
+                scalars = jnp.stack(
+                    [
+                        tbl.sqrt_recip_alpha_bar[step],
+                        tbl.sqrt_recip_m1_alpha_bar[step],
+                        tbl.mean_x0_coef[step],
+                        tbl.mean_xt_coef[step],
+                        jnp.where(step == 0, zero, jnp.exp(0.5 * tbl.log_var[step])),
+                        tbl.sqrt_alpha_bar[step],
+                        jnp.where(step > 0, tbl.sqrt_1m_alpha_bar[step], zero),
+                    ]
+                )
+                x_out = fused_repaint_epilogue(
+                    x_t, e_t, noise_u[u, 1], orig, noise_u[u, 0], mask, scalars,
+                    interpret=jax.default_backend() not in ("tpu", "axon"),
+                )
+            else:
+                q_noise = jnp.where(
+                    step > 0, noise_u[u, 0], jnp.zeros_like(noise_u[u, 0])
+                )
+                x_known = (
+                    tbl.sqrt_alpha_bar[step] * orig
+                    + tbl.sqrt_1m_alpha_bar[step] * q_noise
+                )
+                x_unknown = _ddpm_step(
+                    tbl, eps_fn, params, x_t, cond, step, noise_u[u, 1], cond_concat
+                )
+                x_out = x_known * mask + x_unknown * (1.0 - mask)
             if u < repaint_n - 1:
                 # one-step re-noising (sampler_sdf.py:337-341); note the reference
                 # multiplies noise by beta (not sqrt(beta)) — kept for parity
