@@ -7,12 +7,10 @@ the reference, ``train/train_ldm.py:34-54``) original path:
 - the VGG16-based LPIPS perceptual term is omitted: it requires downloading
   pretrained VGG weights (no egress here) and is an RGB-image prior with no meaning
   for binary piano rolls;
-- the adaptive generator/discriminator weight balancing (grad-norm ratio on the
-  decoder's last layer) is replaced by the fixed ``disc_weight`` — the adaptive
-  rule needs per-step extra backward passes for a path the reference never ran.
-
 Everything else matches: L1 + logvar-scaled NLL, per-sample-summed KL, hinge or
-vanilla discriminator losses, ``disc_start`` gating.
+vanilla discriminator losses, ``disc_start`` gating, and the adaptive
+generator/discriminator balancing (grad-norm ratio on the decoder's last layer,
+``calculate_adaptive_weight`` in the reference) via :func:`adaptive_disc_weight`.
 """
 
 from __future__ import annotations
@@ -90,6 +88,15 @@ def kl_per_sample(mean, log_var):
         axis=tuple(range(1, mean.ndim)),
     )
     return jnp.mean(kl)
+
+
+def adaptive_disc_weight(nll_grad_last, g_grad_last, disc_weight: float):
+    """||d nll / d last|| / ||d g / d last|| clipped to [0, 1e4], x disc_weight
+    (reference contperceptual.py calculate_adaptive_weight)."""
+    nll_norm = jnp.linalg.norm(nll_grad_last)
+    g_norm = jnp.linalg.norm(g_grad_last)
+    w = nll_norm / (g_norm + 1e-4)
+    return jax.lax.stop_gradient(jnp.clip(w, 0.0, 1e4)) * disc_weight
 
 
 def ae_generator_loss(

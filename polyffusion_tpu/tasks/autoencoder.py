@@ -70,6 +70,44 @@ class AutoencoderTask:
     def disc_apply(self, params, x):
         return self.disc.apply({"params": params}, x)
 
+    def _adaptive_weight(self, params, x, recon, rng):
+        """Grad-norm-ratio disc weight on the decoder's last conv kernel
+        (reference contperceptual.py calculate_adaptive_weight).
+
+        Recomputes the decode as a function of that kernel — two small extra
+        backward passes, stop-gradiented (the weight is a scalar coefficient,
+        not a differentiable quantity)."""
+        from ..models.losses import adaptive_disc_weight
+
+        mean, log_var = self.ae.apply(
+            {"params": params["ae"]}, x, method=self.ae.encode_moments
+        )
+        std = jnp.exp(0.5 * log_var)
+        z = jax.lax.stop_gradient(
+            mean + std * jax.random.normal(rng, std.shape, std.dtype)
+        )
+
+        def with_kernel(kernel, which):
+            p = jax.tree_util.tree_map(lambda a: a, params["ae"])  # shallow copy
+            p = dict(p)
+            dec = dict(p["decoder"])
+            out = dict(dec["conv_out"])
+            out["kernel"] = kernel
+            dec["conv_out"] = out
+            p["decoder"] = dec
+            rec = self.ae.apply({"params": p}, z, method=self.ae.decode).astype(
+                jnp.float32
+            )
+            if which == "nll":
+                nll = jnp.abs(x - rec) / jnp.exp(params["logvar"]) + params["logvar"]
+                return jnp.sum(nll) / x.shape[0]
+            return -jnp.mean(self.disc_apply(params["disc"], rec))
+
+        kernel = params["ae"]["decoder"]["conv_out"]["kernel"]
+        nll_grad = jax.grad(lambda k: with_kernel(k, "nll"))(kernel)
+        g_grad = jax.grad(lambda k: with_kernel(k, "g"))(kernel)
+        return adaptive_disc_weight(nll_grad, g_grad, self.disc_weight)
+
     def loss_fn(
         self, params, batch, rng: jax.Array, sched_params: Dict
     ) -> Tuple[jnp.ndarray, Dict]:
@@ -77,6 +115,12 @@ class AutoencoderTask:
         x = self._pad_channels(batch[0])
         recon, moments = self.ae.apply({"params": params["ae"]}, x, rng)
         recon = recon.astype(jnp.float32)
+
+        disc_weight = self.disc_weight
+        if self.cfg.get("adaptive_disc_weight", True):
+            disc_weight = self._adaptive_weight(
+                jax.lax.stop_gradient(params), x, recon, rng
+            )
 
         # generator side: discriminator params frozen
         g_loss, g_metrics = ae_generator_loss(
@@ -89,7 +133,7 @@ class AutoencoderTask:
             logvar=params["logvar"],
             disc_start=self.disc_start,
             kl_weight=self.kl_weight,
-            disc_weight=self.disc_weight,
+            disc_weight=disc_weight,
         )
         # discriminator side: ae outputs stop-gradiented inside
         d_loss, d_metrics = ae_discriminator_loss(
