@@ -93,7 +93,37 @@ def main(argv=None):
     p.add_argument("--kind", required=True)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument(
+        "--reverse",
+        action="store_true",
+        help="export BACK to a reference torch checkpoint (kind=unet only): input is "
+        "a params .npz or an orbax run dir (with --model), output a legacy .pt the "
+        "reference's inference_sdf.py loads directly",
+    )
+    p.add_argument("--model", default=None, help="params preset for --reverse run dirs")
     args = p.parse_args(argv)
+
+    if args.reverse:
+        assert args.kind == "unet", "--reverse currently supports kind=unet"
+        import os
+
+        from .torch_export import save_reference_checkpoint
+
+        if os.path.isdir(args.input):
+            from ..config import load_params
+            from ..inference import build_task_for_inference, load_unet_params
+
+            cfg_path = os.path.join(args.input, "params.yaml")
+            cfg = load_params(cfg_path if os.path.exists(cfg_path) else args.model)
+            cfg["use_enc"] = False  # template only needs the UNet
+            task = build_task_for_inference(cfg)
+            params = load_unet_params(args.input, task)
+        else:
+            params = load_params_npz(args.input)
+        save_reference_checkpoint(params, args.output)
+        print(f"exported reference checkpoint -> {args.output}")
+        return
+
     tree = convert(args.kind, args.input)
     save_params_npz(tree, args.output)
     n = len(flatten_tree(tree))

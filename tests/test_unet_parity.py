@@ -113,3 +113,43 @@ def test_cfg_fork_equals_double_batch():
     # same math evaluated once vs twice; XLA tiles differently per batch size, so
     # agreement is to float32 reassociation noise, not bitwise
     np.testing.assert_allclose(np.asarray(forked), np.asarray(plain), atol=1e-5)
+
+
+def test_torch_export_roundtrip_and_reference_load():
+    """Export our params to a reference-format checkpoint; the reference torch UNet
+    must load it and agree with our forward (train-here, run-there)."""
+    import tempfile, os
+
+    from polyffusion_tpu.convert.torch_export import (
+        save_reference_checkpoint,
+        unet_params_to_torch,
+    )
+
+    torch.manual_seed(9)
+    tm = TorchUNet(**TINY)
+    sd0 = torch_state_to_numpy(tm)
+    params = unet_params_from_torch(sd0)
+
+    # key-exact round trip
+    sd1 = unet_params_to_torch(params)
+    assert set(sd1) == set(sd0)
+    for k in sd0:
+        np.testing.assert_array_equal(sd1[k], sd0[k], err_msg=k)
+
+    # the reference loads our exported checkpoint
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "weights.pt")
+        save_reference_checkpoint(params, path)
+        blob = torch.load(path, weights_only=False)["model"]
+        stripped = {k[len("ldm.eps_model."):]: v for k, v in blob.items()}
+        tm2 = TorchUNet(**TINY)
+        tm2.load_state_dict(stripped)
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((1, 2, 16, 16), dtype=np.float32)
+    t = np.array([123], np.int64)
+    cond = rng.standard_normal((1, 2, 12), dtype=np.float32)
+    with torch.no_grad():
+        a = tm(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cond))
+        b = tm2(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cond))
+    np.testing.assert_array_equal(a.numpy(), b.numpy())
