@@ -122,3 +122,35 @@ def test_chd8bar_training_with_tf_scheduler(data_dir, tmp_path):
                       param_scheduler=sched, max_steps=3, log_every=1)
     state = trainer.fit(train_dl, val_dl, resume=False)
     assert int(state.step) == 3
+
+
+def test_nan_loss_raises(data_dir, tmp_path):
+    """Non-finite loss must abort training (reference lightning_learner.py:29-33)."""
+    import pytest as _pytest
+
+    from polyffusion_tpu.data.loader import Batch
+
+    class PoisonLoader:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __iter__(self):
+            for b in self.inner:
+                poisoned = b.prmat2c.copy()
+                poisoned[:] = np.nan
+                yield Batch(poisoned, b.pnotree, b.chord, b.prmat)
+
+        def __len__(self):
+            return len(self.inner)
+
+    mesh = make_mesh()
+    train_ds, val_ds = SegmentDataset.train_val_from_dir(data_dir, 0.75)
+    train_dl, val_dl = make_loaders(train_ds, val_ds, 8, mesh)
+    task = SDFTask(TINY_CFG)
+    trainer = Trainer(task, TINY_CFG, str(tmp_path / "nan"), mesh=mesh,
+                      max_steps=2, log_every=1)
+    poisoned = PoisonLoader(train_dl.loader)
+    from polyffusion_tpu.data.loader import DeviceFeeder
+
+    with _pytest.raises(RuntimeError, match="non-finite"):
+        trainer.fit(DeviceFeeder(poisoned, mesh), val_dl, resume=False)
