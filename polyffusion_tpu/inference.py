@@ -555,6 +555,11 @@ def main(argv=None):
     )
     p.add_argument("--polydis_path", default=None, help="PolyDis torch checkpoint")
     p.add_argument(
+        "--polydis_chd_resample",
+        action="store_true",
+        help="resample the chord latent from the prior in aftertouch re-rendering",
+    )
+    p.add_argument(
         "--dump_images",
         action="store_true",
         help="save piano-roll PNGs of outputs + a q-noise sequence of the source "
@@ -694,6 +699,7 @@ def main(argv=None):
                     prmat[:n].astype(np.float32),
                     chd8[:n].astype(np.float32),
                     os.path.join(args.output_dir, f"polydis_recon_{i}.mid"),
+                    chd_sample=args.polydis_chd_resample,
                 )
     print(f"wrote {args.num_generate} output(s) to {args.output_dir}")
 
