@@ -59,8 +59,12 @@ class FP32GroupNorm(nn.Module):
 
         xg = x.reshape(*x.shape[:-1], g, c // g).astype(jnp.float32)
         axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)  # spatial + within-group
+        # one-pass statistics: mean and E[x^2] come out of a single fused reduction
+        # over the activation (a two-pass (x-mean)^2 variance reads it twice; GN
+        # reductions were ~10% of sampling device time in the TPU profile)
         mean = jnp.mean(xg, axis=axes, keepdims=True)
-        var = jnp.mean((xg - mean) ** 2, axis=axes, keepdims=True)
+        mean_sq = jnp.mean(xg * xg, axis=axes, keepdims=True)
+        var = jnp.maximum(mean_sq - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
 
         # broadcast per-group stats back to channel layout
