@@ -73,9 +73,9 @@ def multihead_attention(
     tk = k.shape[1]
     if use_flash is None:
         # Measured on v5e: for this model's shapes (seq <= 1024, 4 heads, d 64)
-        # XLA's fused einsum attention beats the Pallas flash kernel (8.9 vs 6.6
-        # samples/s on the DDIM-50 benchmark) — block overheads dominate at small
-        # head counts.  Flash is therefore opt-in (POLYFF_FLASH_ATTENTION=1) and
+        # XLA's fused einsum attention beats the Pallas flash kernel (10.0 vs 7.0
+        # samples/s on the DDIM-50 benchmark, even with full-kv single-block
+        # tiling).  Flash is therefore opt-in (POLYFF_FLASH_ATTENTION=1) and
         # only auto-considered for long sequences.
         import os
 
@@ -93,9 +93,19 @@ def multihead_attention(
 
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-    # kernel layout is (B, H, T, D)
+    # kernel layout is (B, H, T, D); with kv <= 1024 a single full-kv block per
+    # q-tile avoids the online-softmax rescaling passes entirely
+    bq = min(tq, 512)
+    bk = min(tk, 1024)
+    blocks = fa.BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
-    out = fa.flash_attention(qt, kt, vt, causal=False, sm_scale=scale)
+    out = fa.flash_attention(
+        qt, kt, vt, causal=False, sm_scale=scale, block_sizes=blocks
+    )
     return jnp.swapaxes(out, 1, 2)
