@@ -57,22 +57,30 @@ class FP32GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        xg = x.reshape(*x.shape[:-1], g, c // g).astype(jnp.float32)
-        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)  # spatial + within-group
-        # one-pass statistics: mean and E[x^2] come out of a single fused reduction
-        # over the activation (a two-pass (x-mean)^2 variance reads it twice; GN
-        # reductions were ~10% of sampling device time in the TPU profile)
-        mean = jnp.mean(xg, axis=axes, keepdims=True)
-        mean_sq = jnp.mean(xg * xg, axis=axes, keepdims=True)
-        var = jnp.maximum(mean_sq - mean * mean, 0.0)
+        # One-pass statistics via per-CHANNEL partial sums, staying 4-D throughout:
+        # 5-D group reshapes force TPU layout copies (a transpose-while showed up
+        # in profiles), and two-pass (x-mean)^2 variance reads the activation
+        # twice (GN reductions were ~10% of sampling device time).
+        x32 = x.astype(jnp.float32)
+        spatial = tuple(range(1, x.ndim - 1))
+        n_per_group = (x.size // (x.shape[0] * c)) * (c // g)
+        s1 = jnp.sum(x32, axis=spatial)  # (B, C)
+        s2 = jnp.sum(x32 * x32, axis=spatial)  # (B, C)
+        b = x.shape[0]
+        g_mean = s1.reshape(b, g, c // g).sum(-1) / n_per_group  # (B, g)
+        g_meansq = s2.reshape(b, g, c // g).sum(-1) / n_per_group
+        var = jnp.maximum(g_meansq - g_mean * g_mean, 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
 
-        # broadcast per-group stats back to channel layout
-        mean_c = jnp.broadcast_to(mean, xg.shape[:-1] + (c // g,)).reshape(x.shape)
-        inv_c = jnp.broadcast_to(inv, xg.shape[:-1] + (c // g,)).reshape(x.shape)
-        y = (x.astype(jnp.float32) - mean_c) * inv_c
-        y = y.astype(x.dtype) * scale.astype(x.dtype) + bias.astype(x.dtype)
-        return y
+        # per-channel affine folded into the group stats: y = x * a + b
+        inv_c = jnp.repeat(inv, c // g, axis=-1)  # (B, C)
+        mean_c = jnp.repeat(g_mean, c // g, axis=-1)
+        a = (inv_c * scale[None].astype(jnp.float32)).astype(x.dtype)
+        off = (bias[None].astype(jnp.float32) - mean_c * inv_c * scale[None]).astype(
+            x.dtype
+        )
+        shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        return x * a.reshape(shape) + off.reshape(shape)
 
     # NOTE on params: this module owns scale/bias directly (no nested GroupNorm_0)
 
