@@ -103,23 +103,40 @@ class Trainer:
                 create=True,
             ),
         )
+        # best-k pruning deletes the newest step once val loss worsens; keep a
+        # separate rolling "last" for resume (the reference's save_last=True,
+        # train/__init__.py:85-92)
+        self.last_manager = ocp.CheckpointManager(
+            os.path.join(self.ckpt_dir, "last"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+        )
         self.logger = MetricsLogger(output_dir, cfg.get("model_name", task.name))
 
     # -- checkpointing ---------------------------------------------------------
 
     def save(self, state: TrainState, val_loss: float):
+        step = int(state.step)
         self.manager.save(
-            int(state.step),
+            step,
             args=ocp.args.StandardSave({"state": state}),
             metrics={"val_loss": float(val_loss)},
         )
+        self.last_manager.save(step, args=ocp.args.StandardSave({"state": state}))
         self.manager.wait_until_finished()
+        self.last_manager.wait_until_finished()
 
     def try_restore(self, state: TrainState) -> TrainState:
-        latest = self.manager.latest_step()
-        if latest is None:
+        best_latest = self.manager.latest_step()
+        last_latest = self.last_manager.latest_step()
+        candidates = [
+            (s, m)
+            for s, m in ((best_latest, self.manager), (last_latest, self.last_manager))
+            if s is not None
+        ]
+        if not candidates:
             return state
-        restored = self.manager.restore(
+        latest, mgr = max(candidates, key=lambda c: c[0])
+        restored = mgr.restore(
             latest, args=ocp.args.StandardRestore({"state": state})
         )
         print(f"[resume] restored checkpoint at step {latest}")

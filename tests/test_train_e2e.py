@@ -154,3 +154,27 @@ def test_nan_loss_raises(data_dir, tmp_path):
 
     with _pytest.raises(RuntimeError, match="non-finite"):
         trainer.fit(DeviceFeeder(poisoned, mesh), val_dl, resume=False)
+
+
+def test_resume_survives_worsening_val_loss(tmp_path):
+    """Resume must restore the LATEST step even after best-k pruning would have
+    dropped it (the reference's save_last=True semantics)."""
+    import orbax.checkpoint as ocp
+
+    from polyffusion_tpu.train.loop import Trainer
+    from polyffusion_tpu.train import create_state, make_optimizer
+
+    task = SDFTask(TINY_CFG)
+    params = jax.device_put(task.init_params(jax.random.PRNGKey(0)))
+    optimizer = make_optimizer(1e-4)
+    trainer = Trainer(task, TINY_CFG, str(tmp_path / "run"), mesh=None)
+
+    import jax.numpy as jnp
+
+    for step, loss in [(1, 0.5), (2, 0.6), (3, 0.7), (4, 0.8), (5, 0.9)]:
+        state = create_state(params, optimizer)._replace(step=jnp.int32(step))
+        trainer.save(state, loss)
+
+    template = create_state(params, optimizer)
+    restored = trainer.try_restore(template)
+    assert int(restored.step) == 5
