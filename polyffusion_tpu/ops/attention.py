@@ -46,14 +46,20 @@ def _einsum_attention(q, k, v, scale, compute_dtype):
         and os.environ.get("POLYFF_FP32_SOFTMAX") != "1"
     )
     acc = jnp.bfloat16 if fast else jnp.float32
-    attn = jnp.einsum("bihd,bjhd->bhij", q, k, preferred_element_type=acc)
+    # head-major layout throughout: both matmuls contract on the minor axes with
+    # no mid-pipeline transposes (profiles showed (B,H,D,T) transpose fusions)
+    qh = jnp.swapaxes(q, 1, 2)  # (B, H, Tq, D)
+    kh = jnp.swapaxes(k, 1, 2)
+    vh = jnp.swapaxes(v, 1, 2)
+    attn = jnp.einsum("bhid,bhjd->bhij", qh, kh, preferred_element_type=acc)
     attn = jax.nn.softmax(attn.astype(acc) * jnp.asarray(scale, acc), axis=-1)
-    return jnp.einsum(
-        "bhij,bjhd->bihd",
+    out = jnp.einsum(
+        "bhij,bhjd->bhid",
         attn.astype(compute_dtype),
-        v,
-        preferred_element_type=jnp.float32,
+        vh,
+        preferred_element_type=acc if fast else jnp.float32,
     )
+    return jnp.swapaxes(out, 1, 2)  # (B, Tq, H, D)
 
 
 def multihead_attention(
