@@ -560,6 +560,12 @@ def main(argv=None):
         help="resample the chord latent from the prior in aftertouch re-rendering",
     )
     p.add_argument(
+        "--split_inpaint",
+        action="store_true",
+        help="only split the source prmat2c by the inpainting mask into a two-track "
+        "MIDI and exit (reference inference_sdf.py:645-651)",
+    )
+    p.add_argument(
         "--dump_images",
         action="store_true",
         help="save piano-roll PNGs of outputs + a q-noise sequence of the source "
@@ -631,6 +637,18 @@ def main(argv=None):
             cond_mid = cond_mid[: max(n - 1, 0)]
 
     label = cfg.get("model_name", "sdf")
+
+    if args.split_inpaint:
+        assert args.inpaint_type, "--split_inpaint requires --inpaint_type"
+        bar_list = (
+            [int(x) for x in args.bar_list.split(",")] if args.bar_list else None
+        )
+        mask = get_mask(prmat2c, args.inpaint_type, bar_list)
+        os.makedirs(args.output_dir, exist_ok=True)
+        out = os.path.join(args.output_dir, f"{label}_split_{args.inpaint_type}.mid")
+        prmat2c_to_midi_file(prmat2c, out, inp_mask=mask)
+        print(f"split written to {out}")
+        return
 
     if args.dump_images:
         # q-noise visualization sequence (reference Experiments.show_q_imgs,
