@@ -15,7 +15,6 @@ All image tensors are NHWC.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -382,14 +381,3 @@ def ddim_paint(
 
     x, _ = jax.lax.scan(body, x, (steps, indices, noises))
     return x
-
-
-# ---------------------------------------------------------------------------
-# jit-compiled entry points
-# ---------------------------------------------------------------------------
-
-
-def jit_sampler(fn, apply_fn, static_kwargs=("uncond_scale", "temperature")):
-    """Bind ``apply_fn`` and jit with the scale/temperature static (they select the
-    CFG batching strategy at trace time)."""
-    return jax.jit(partial(fn, apply_fn), static_argnames=tuple(static_kwargs) + ("t_start", "repaint_n"))
