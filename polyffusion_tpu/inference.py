@@ -155,13 +155,23 @@ class InferenceSession:
         repaint_n: int = 1,
         seed: int = 0,
         mesh=None,
+        bf16_params: bool = False,
     ):
         """``mesh``: optional dp mesh — batch-shards sampling across devices
-        (params replicated); batch must divide the mesh size."""
+        (params replicated); batch must divide the mesh size.
+
+        ``bf16_params``: cast non-norm parameters to bfloat16 once at load —
+        halves per-eval weight traffic on the bandwidth-bound sampling path
+        (see utils/precision.py).  Off by default to keep fp32 trajectory
+        parity with the torch reference."""
         import jax
 
         self.task = task
         self.mesh = mesh
+        if bf16_params:
+            from .utils.precision import cast_sampling_params
+
+            params = cast_sampling_params(params)
         if mesh is not None:
             from .parallel.mesh import replicated
 
@@ -566,6 +576,12 @@ def main(argv=None):
         "MIDI and exit (reference inference_sdf.py:645-651)",
     )
     p.add_argument(
+        "--bf16_params",
+        action="store_true",
+        help="cast UNet weights to bfloat16 for sampling (faster on TPU; tiny "
+        "numerical deviation from the fp32 reference trajectories)",
+    )
+    p.add_argument(
         "--dump_images",
         action="store_true",
         help="save piano-roll PNGs of outputs + a q-noise sequence of the source "
@@ -593,6 +609,7 @@ def main(argv=None):
         ddim_discretize=args.ddim_discretize,
         repaint_n=args.repaint_n,
         seed=args.seed,
+        bf16_params=args.bf16_params,
     )
 
     # conditioning source

@@ -4,9 +4,11 @@ Counterpart of the reference ``stable_diffusion/losses/`` (LPIPSWithDiscriminato
 NLayerDiscriminator).  Documented divergences from the (dead — never trainable in
 the reference, ``train/train_ldm.py:34-54``) original path:
 
-- the VGG16-based LPIPS perceptual term is omitted: it requires downloading
-  pretrained VGG weights (no egress here) and is an RGB-image prior with no meaning
-  for binary piano rolls;
+- the VGG16-based LPIPS perceptual term (``models/lpips.py``) is OFF unless the
+  config supplies converted weights (``lpips_path``): pretrained VGG weights
+  cannot be downloaded here (no egress), and an RGB prior has limited meaning for
+  binary piano rolls — but the module + converter exist so the term switches on
+  exactly as in the reference (``contperceptual.py:72-76``) when weights arrive;
 Everything else matches: L1 + logvar-scaled NLL, per-sample-summed KL, hinge or
 vanilla discriminator losses, ``disc_start`` gating, and the adaptive
 generator/discriminator balancing (grad-norm ratio on the decoder's last layer,
@@ -112,9 +114,20 @@ def ae_generator_loss(
     kl_weight: float = 1e-6,
     disc_weight: float = 0.5,
     disc_factor: float = 1.0,
+    p_loss=None,
+    perceptual_weight: float = 1.0,
 ):
-    """Encoder/decoder-side loss (reference contperceptual.py, optimizer_idx=0)."""
+    """Encoder/decoder-side loss (reference contperceptual.py, optimizer_idx=0).
+
+    ``p_loss``: optional per-sample LPIPS distances (B,); added into the
+    reconstruction term exactly as the reference does (contperceptual.py:72-76,
+    broadcast over the elementwise |x - x̂| map before the NLL scaling).
+    """
     rec = jnp.abs(inputs - reconstructions)
+    if p_loss is not None:
+        rec = rec + perceptual_weight * p_loss.reshape(
+            (-1,) + (1,) * (rec.ndim - 1)
+        )
     nll = rec / jnp.exp(logvar) + logvar
     nll_loss = jnp.sum(nll) / nll.shape[0]
     kl = kl_per_sample(*moments)

@@ -17,7 +17,7 @@ Parameter tree structure intentionally mirrors the torch module tree one-to-one 
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -51,8 +51,13 @@ class FP32GroupNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
+    def __call__(self, x: jnp.ndarray, x2: Optional[jnp.ndarray] = None):
+        """Normalize ``x`` — or, with ``x2``, the VIRTUAL channel-concat
+        ``[x, x2]`` without materializing it (group statistics distribute over
+        per-channel partial sums).  Returns ``y`` or ``(y, y2)`` accordingly.
+        """
+        c1 = x.shape[-1]
+        c = c1 + (x2.shape[-1] if x2 is not None else 0)
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -61,11 +66,18 @@ class FP32GroupNorm(nn.Module):
         # 5-D group reshapes force TPU layout copies (a transpose-while showed up
         # in profiles), and two-pass (x-mean)^2 variance reads the activation
         # twice (GN reductions were ~10% of sampling device time).
-        x32 = x.astype(jnp.float32)
         spatial = tuple(range(1, x.ndim - 1))
-        n_per_group = (x.size // (x.shape[0] * c)) * (c // g)
-        s1 = jnp.sum(x32, axis=spatial)  # (B, C)
-        s2 = jnp.sum(x32 * x32, axis=spatial)  # (B, C)
+
+        def channel_sums(t):
+            t32 = t.astype(jnp.float32)
+            return jnp.sum(t32, axis=spatial), jnp.sum(t32 * t32, axis=spatial)
+
+        s1, s2 = channel_sums(x)  # (B, C1)
+        if x2 is not None:
+            s1b, s2b = channel_sums(x2)
+            s1 = jnp.concatenate([s1, s1b], axis=-1)  # (B, C) — tiny
+            s2 = jnp.concatenate([s2, s2b], axis=-1)
+        n_per_group = (x.size // (x.shape[0] * c1)) * (c // g)
         b = x.shape[0]
         g_mean = s1.reshape(b, g, c // g).sum(-1) / n_per_group  # (B, g)
         g_meansq = s2.reshape(b, g, c // g).sum(-1) / n_per_group
@@ -79,8 +91,17 @@ class FP32GroupNorm(nn.Module):
         off = (bias[None].astype(jnp.float32) - mean_c * inv_c * scale[None]).astype(
             x.dtype
         )
-        shape = (b,) + (1,) * (x.ndim - 2) + (c,)
-        return x * a.reshape(shape) + off.reshape(shape)
+
+        def apply_affine(t, a_c, off_c):
+            shape = (b,) + (1,) * (t.ndim - 2) + (t.shape[-1],)
+            return t * a_c.reshape(shape) + off_c.reshape(shape)
+
+        if x2 is None:
+            return apply_affine(x, a, off)
+        return (
+            apply_affine(x, a[:, :c1], off[:, :c1]),
+            apply_affine(x2, a[:, c1:], off[:, c1:]),
+        )
 
     # NOTE on params: this module owns scale/bias directly (no nested GroupNorm_0)
 
@@ -98,18 +119,73 @@ def _conv3x3(features: int, dtype, name: str, stride: int = 1) -> nn.Conv:
     )
 
 
+class ConcatConv(nn.Module):
+    """Convolution over the VIRTUAL channel-concat ``[x, x2]``.
+
+    ``conv(concat([x, x2]), W) == conv(x, W[..., :c1, :]) + conv(x2, W[..., c1:, :])``
+    exactly, so the concat never hits HBM (XLA materialized it with layout
+    copies — profiled ~10% of decoder time).  Parameter names/shapes are
+    identical to ``nn.Conv`` over the real concat, keeping checkpoint
+    converters unchanged.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        c1, c2 = x.shape[-1], x2.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, c1 + c2, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype)
+        pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+
+        def conv(t, kk):
+            return jax.lax.conv_general_dilated(
+                t.astype(self.dtype),
+                kk,
+                window_strides=(1, 1),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        y = conv(x, k[:, :, :c1]) + conv(x2, k[:, :, c1:])
+        return y + bias.astype(y.dtype)
+
+
 class ResBlock(nn.Module):
-    """GN -> SiLU -> conv, +time-emb, GN -> SiLU -> conv, +skip (reference ``unet.py:262-318``)."""
+    """GN -> SiLU -> conv, +time-emb, GN -> SiLU -> conv, +skip (reference ``unet.py:262-318``).
+
+    ``skip``: optional decoder skip tensor; the block then behaves exactly as if
+    called on ``concatenate([x, skip], -1)`` but the concat is virtual (see
+    ``ConcatConv`` / ``FP32GroupNorm``) — the reference materializes it
+    (``unet.py:188-190``).
+    """
 
     out_channels: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, t_emb: jnp.ndarray) -> jnp.ndarray:
-        c_in = x.shape[-1]
-        h = FP32GroupNorm(name="in_norm")(x)
-        h = nn.silu(h)
-        h = _conv3x3(self.out_channels, self.dtype, "in_conv")(h)
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t_emb: jnp.ndarray,
+        skip: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        c_in = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+        if skip is None:
+            h = FP32GroupNorm(name="in_norm")(x)
+            h = nn.silu(h)
+            h = _conv3x3(self.out_channels, self.dtype, "in_conv")(h)
+        else:
+            h1, h2 = FP32GroupNorm(name="in_norm")(x, skip)
+            h = ConcatConv(self.out_channels, (3, 3), self.dtype, name="in_conv")(
+                nn.silu(h1), nn.silu(h2)
+            )
         emb = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(
             nn.silu(t_emb)
         )
@@ -118,7 +194,14 @@ class ResBlock(nn.Module):
         h = nn.silu(h)
         h = _conv3x3(self.out_channels, self.dtype, "out_conv")(h)
         if c_in != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
+            if skip is None:
+                x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
+            else:
+                x = ConcatConv(self.out_channels, (1, 1), self.dtype, name="skip")(
+                    x, skip
+                )
+        elif skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
         return x + h
 
 
@@ -235,8 +318,17 @@ class UpSample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+        # 2x nearest upsample as broadcast+reshape (identical to the reference's
+        # F.interpolate(scale_factor=2, mode="nearest")).  jax.image.resize
+        # lowers to gather `while` loops on TPU — profiled at ~3% of sampling.
+        if os.environ.get("POLYFF_LEGACY_UPSAMPLE") == "1":  # A/B knob
+            x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+        else:
+            x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+            x = x.reshape(b, 2 * h, 2 * w, c)
         return _conv3x3(c, self.dtype, "conv")(x)
 
 
@@ -332,13 +424,21 @@ class UNetModel(nn.Module):
         h = ResBlock(h.shape[-1], self.dtype, name="middle_block_2")(h, t_emb)
 
         # --- output half ------------------------------------------------------
+        import os
+
+        # virtual skip-concat by default; POLYFF_MATERIALIZE_CONCAT=1 restores
+        # the reference's real concatenate (A/B knob, numerically ~identical)
+        virtual_concat = os.environ.get("POLYFF_MATERIALIZE_CONCAT") != "1"
         block_idx = 0
         for i in reversed(range(levels)):
             for j in range(self.n_res_blocks + 1):
-                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                skip_t = skips.pop()
+                if not virtual_concat:
+                    h = jnp.concatenate([h, skip_t], axis=-1)
+                    skip_t = None
                 h = ResBlock(
                     channels_list[i], self.dtype, name=f"output_blocks_{block_idx}_0"
-                )(h, t_emb)
+                )(h, t_emb, skip=skip_t)
                 lidx = 1
                 if i in self.attention_levels:
                     h = SpatialTransformer(

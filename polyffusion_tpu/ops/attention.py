@@ -77,6 +77,30 @@ def multihead_attention(
     """
     b, tq, h, d = q.shape
     tk = k.shape[1]
+
+    # Fused whole-sequence Pallas kernel for the model's short self-attentions:
+    # unlike the general flash kernel below (online-softmax tiling, measured
+    # slower in round 1) this computes the entire softmax in VMEM and moves
+    # only q/k/v/out through HBM.  Opt-out: POLYFF_FUSED_ATTN=0.
+    import os
+
+    if (
+        use_flash is None
+        and os.environ.get("POLYFF_FUSED_ATTN", "1") == "1"
+        and jax.default_backend() in ("tpu", "axon")
+        and tq == tk
+        and tq in (256, 512, 1024)
+        and d in (64, 128)
+        and tq % 128 == 0
+    ):
+        from .fused_attention import fused_self_attention
+
+        qh = jnp.swapaxes(q, 1, 2).reshape(b * h, tq, d)
+        kh = jnp.swapaxes(k, 1, 2).reshape(b * h, tk, d)
+        vh = jnp.swapaxes(v, 1, 2).reshape(b * h, tk, d)
+        out = fused_self_attention(qh, kh, vh, scale)
+        return jnp.swapaxes(out.reshape(b, h, tq, d), 1, 2)
+
     if use_flash is None:
         # Measured on v5e: for this model's shapes (seq <= 1024, 4 heads, d 64)
         # XLA's fused einsum attention beats the Pallas flash kernel (10.0 vs 7.0

@@ -46,6 +46,25 @@ class AutoencoderTask:
         self.kl_weight = float(cfg.get("kl_weight", 1e-6))
         self.disc_weight = float(cfg.get("disc_weight", 0.5))
 
+        # LPIPS perceptual term (reference contperceptual.py:28-29, weight 1.0);
+        # active only when converted VGG/LPIPS weights are supplied — the
+        # reference's pretrained download is impossible offline (models/lpips.py).
+        self.perceptual_weight = float(cfg.get("perceptual_weight", 1.0))
+        self.lpips = None
+        self.lpips_params = cfg.get("lpips_params")  # injectable for tests
+        lpips_path = cfg.get("lpips_path")
+        if lpips_path:
+            from ..convert.torch_import import torch_file_to_numpy
+            from ..models.lpips import lpips_params_from_torch
+
+            self.lpips_params = lpips_params_from_torch(
+                torch_file_to_numpy(lpips_path)
+            )
+        if self.lpips_params is not None:
+            from ..models.lpips import LPIPS
+
+            self.lpips = LPIPS(dtype=dtype)
+
     def _pad_channels(self, prmat2c: jnp.ndarray) -> jnp.ndarray:
         """(B, 2, H, W) -> NHWC padded to in_channels (model_autoencoder.py:18-24)."""
         x = nchw_to_nhwc(prmat2c)
@@ -122,6 +141,13 @@ class AutoencoderTask:
                 jax.lax.stop_gradient(params), x, recon, rng
             )
 
+        p_loss = None
+        if self.lpips is not None and self.perceptual_weight > 0:
+            # LPIPS network frozen; gradient flows through the reconstruction
+            p_loss = self.lpips.apply(
+                {"params": jax.lax.stop_gradient(self.lpips_params)}, x, recon
+            )
+
         # generator side: discriminator params frozen
         g_loss, g_metrics = ae_generator_loss(
             x,
@@ -134,7 +160,11 @@ class AutoencoderTask:
             disc_start=self.disc_start,
             kl_weight=self.kl_weight,
             disc_weight=disc_weight,
+            p_loss=p_loss,
+            perceptual_weight=self.perceptual_weight,
         )
+        if p_loss is not None:
+            g_metrics = {**g_metrics, "p_loss": jnp.mean(p_loss)}
         # discriminator side: ae outputs stop-gradiented inside
         d_loss, d_metrics = ae_discriminator_loss(
             x, recon, self.disc_apply, params["disc"], step,

@@ -111,6 +111,12 @@ class Trainer:
             options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
         )
         self.logger = MetricsLogger(output_dir, cfg.get("model_name", task.name))
+        # legacy torch-learner checkpoint mirroring (weights.pt/weights_best.pt +
+        # info.txt, reference learner.py:104-124) — lets the REFERENCE resume/
+        # infer from a run trained here.  SDF tasks only (the format embeds the
+        # Polyffusion_SDF module tree); config key: legacy_checkpoints: true.
+        self.legacy_ckpt = bool(cfg.get("legacy_checkpoints", False))
+        self._best_val = float("inf")
 
     # -- checkpointing ---------------------------------------------------------
 
@@ -124,6 +130,40 @@ class Trainer:
         self.last_manager.save(step, args=ocp.args.StandardSave({"state": state}))
         self.manager.wait_until_finished()
         self.last_manager.wait_until_finished()
+        if self.legacy_ckpt:
+            self._save_legacy(state, val_loss)
+
+    def _save_legacy(self, state: TrainState, val_loss: float):
+        import jax
+
+        from ..convert.torch_export import export_learner_checkpoint
+
+        if not hasattr(self.task, "schedule"):
+            print("[legacy ckpt] skipped: task has no diffusion schedule (SDF only)")
+            return
+        epoch = getattr(self, "_epoch", 0)
+        is_best = val_loss < self._best_val
+        kwargs = dict(
+            schedule=self.task.schedule,
+            opt_state=jax.device_get(state.opt_state),
+            step=int(state.step),
+            epoch=epoch,
+            learning_rate=float(self.cfg.learning_rate),
+            fp16=False,
+        )
+        params = jax.device_get(state.params)
+        export_learner_checkpoint(
+            params, os.path.join(self.ckpt_dir, "weights.pt"), **kwargs
+        )
+        if is_best:
+            self._best_val = val_loss
+            export_learner_checkpoint(
+                params, os.path.join(self.ckpt_dir, "weights_best.pt"), **kwargs
+            )
+            # reference learner.write_epoch_info (learner.py:108-111)
+            with open(os.path.join(self.ckpt_dir, "info.txt"), "w") as f:
+                f.write(str(epoch))
+                f.write(str(val_loss))
 
     def try_restore(self, state: TrainState) -> TrainState:
         best_latest = self.manager.latest_step()
@@ -203,6 +243,7 @@ class Trainer:
                     break
 
             val_loss = self.validate(state, val_dl, epoch)
+            self._epoch = epoch
             self.save(state, val_loss)
 
         self.logger.close()

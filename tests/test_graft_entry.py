@@ -1,0 +1,65 @@
+"""Pin the DRIVER entry points in ``__graft_entry__.py``.
+
+The driver invokes ``dryrun_multichip(n)`` in a fresh interpreter whose
+sitecustomize force-selects the single-TPU tunnel backend — so the entry must
+self-provision its virtual CPU mesh.  We reproduce that exact situation with a
+subprocess whose env carries NO JAX_PLATFORMS / XLA_FLAGS overrides (round-1
+regression: the entry asserted instead of provisioning, MULTICHIP_r01.json
+``ok: false``).
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_subprocess_driver_env():
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    # keep repeat runs fast; the dryrun model is tiny
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "dryrun_multichip OK" in proc.stdout, proc.stdout
+
+
+def test_dryrun_provisioning_respects_larger_existing_flag():
+    """If XLA_FLAGS already asks for MORE virtual devices, keep it."""
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g, os; g._provision_virtual_cpu_mesh(8); "
+            "assert '=16' in os.environ['XLA_FLAGS'], os.environ['XLA_FLAGS']; "
+            "import jax; assert len(jax.devices('cpu')) == 16",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"

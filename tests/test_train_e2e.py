@@ -178,3 +178,30 @@ def test_resume_survives_worsening_val_loss(tmp_path):
     template = create_state(params, optimizer)
     restored = trainer.try_restore(template)
     assert int(restored.step) == 5
+
+
+def test_legacy_checkpoint_writing(data_dir, tmp_path):
+    """legacy_checkpoints: true mirrors every save as the reference learner's
+    weights.pt / weights_best.pt / info.txt (reference learner.py:104-124)."""
+    import os
+
+    import torch
+
+    mesh = make_mesh()
+    train_ds, val_ds = SegmentDataset.train_val_from_dir(data_dir, 0.75)
+    train_dl, val_dl = make_loaders(train_ds, val_ds, 8, mesh)
+    cfg = Params({**TINY_CFG, "legacy_checkpoints": True})
+    task = SDFTask(cfg)
+    out = str(tmp_path / "legacy")
+    trainer = Trainer(task, cfg, out, mesh=mesh, max_steps=2, log_every=1)
+    trainer.fit(train_dl, val_dl, resume=False)
+
+    ck_dir = os.path.join(out, "chkpts")
+    for fn in ("weights.pt", "weights_best.pt", "info.txt"):
+        assert os.path.exists(os.path.join(ck_dir, fn)), fn
+    ck = torch.load(os.path.join(ck_dir, "weights.pt"), weights_only=False)
+    assert set(ck) == {"step", "epoch", "model", "optimizer", "scaler"}
+    assert ck["step"] == 2
+    assert any(k.startswith("ldm.eps_model.") for k in ck["model"])
+    assert len(ck["optimizer"]["state"]) > 0  # Adam moments present
+
