@@ -68,6 +68,10 @@ def _measure(fn, n_iters, max_reruns=2):
 
 
 def main():
+    # sampling-path kernel defaults (overridable): fused GN+SiLU+conv is
+    # sampling-only (its recomputing backward would tax training), fused
+    # attention is global (training-neutral, measured)
+    os.environ.setdefault("POLYFF_FUSED_GN_CONV", "1")
     import jax
 
     # persistent compile cache: repeat bench runs skip the (minutes-long) TPU compile

@@ -521,6 +521,10 @@ def _main_ddpm(cfg, args):
 
 
 def main(argv=None):
+    # sampling-only kernel default: fused GN+SiLU+conv (ops/fused_gn_conv.py);
+    # training keeps XLA's saved-activation backward, so the Trainer does not
+    # set this.  Override with POLYFF_FUSED_GN_CONV=0.
+    os.environ.setdefault("POLYFF_FUSED_GN_CONV", "1")
     p = argparse.ArgumentParser(description="polyffusion_tpu generation / inpainting")
     p.add_argument("--model", default=None, help="params preset name (default: from ckpt dir)")
     p.add_argument("--chkpt_path", required=True, help="run dir (orbax) or torch .pt/.ckpt")

@@ -45,16 +45,32 @@ class FP32GroupNorm(nn.Module):
     fp32 (XLA fuses the cast into the reduce — nothing fp32 is ever written to
     HBM); the normalize/scale/shift arithmetic stays in the activation dtype.
     At fp32 activations this is exactly a two-pass GroupNorm (parity tested).
+
+    Known bound (tested, test_groupnorm_bf16_large_mean_robustness): one-pass
+    variance cancels when |E[x]| >> std.  Measured vs an fp64 two-pass at unit
+    signal: stats error is reassociation-level through |mean| ~ 30 and degrades
+    gracefully beyond (~1.5 output units at |mean| = 100 under bf16).  Post-conv
+    GN inputs in this model sit far inside that envelope.
     """
 
     num_groups: int = 32
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, x2: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        x2: Optional[jnp.ndarray] = None,
+        return_affine: bool = False,
+    ):
         """Normalize ``x`` — or, with ``x2``, the VIRTUAL channel-concat
         ``[x, x2]`` without materializing it (group statistics distribute over
         per-channel partial sums).  Returns ``y`` or ``(y, y2)`` accordingly.
+
+        ``return_affine=True`` skips the normalize pass and returns the fp32
+        per-(batch, channel) affine vectors ``(a, off)`` with ``y = x*a + off``
+        — consumed by the fused GN+SiLU+conv kernel (ops/fused_gn_conv.py) so
+        the normalized tensor never hits HBM.
         """
         c1 = x.shape[-1]
         c = c1 + (x2.shape[-1] if x2 is not None else 0)
@@ -87,10 +103,13 @@ class FP32GroupNorm(nn.Module):
         # per-channel affine folded into the group stats: y = x * a + b
         inv_c = jnp.repeat(inv, c // g, axis=-1)  # (B, C)
         mean_c = jnp.repeat(g_mean, c // g, axis=-1)
-        a = (inv_c * scale[None].astype(jnp.float32)).astype(x.dtype)
-        off = (bias[None].astype(jnp.float32) - mean_c * inv_c * scale[None]).astype(
-            x.dtype
-        )
+        a32 = inv_c * scale[None].astype(jnp.float32)
+        off32 = bias[None].astype(jnp.float32) - mean_c * inv_c * scale[None]
+        if return_affine:
+            # (B, C) over the (virtual-concat) channel axis; callers slice per part
+            return a32, off32
+        a = a32.astype(x.dtype)
+        off = off32.astype(x.dtype)
 
         def apply_affine(t, a_c, off_c):
             shape = (b,) + (1,) * (t.ndim - 2) + (t.shape[-1],)
@@ -157,6 +176,71 @@ class ConcatConv(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+class FusedGNConv(nn.Module):
+    """Param-compatible stand-in for the 3x3 ``nn.Conv`` that consumes the raw
+    activation plus GN affine vectors and runs the fused Pallas kernel
+    (ops/fused_gn_conv.py): normalize+SiLU happen in VMEM inside the conv."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, a, off, residual=None):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        from ..ops.fused_gn_conv import gn_silu_conv3x3
+
+        return gn_silu_conv3x3(
+            x.astype(self.dtype),
+            a,
+            off,
+            kernel.astype(self.dtype),
+            bias,
+            residual,
+            interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
+
+
+class FusedGNConvConcat(nn.Module):
+    """Two-input fused variant for the decoder skip-concat ``in_conv`` sites:
+    normalize+SiLU both parts and convolve the VIRTUAL concat in one kernel
+    (ops/fused_gn_conv.py gn_silu_conv3x3_concat).  Param-compatible with
+    ``ConcatConv``/``nn.Conv`` over the real concat."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, a, off, x2, a2, off2):
+        c1, c2 = x.shape[-1], x2.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c1 + c2, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        from ..ops.fused_gn_conv import gn_silu_conv3x3_concat
+
+        return gn_silu_conv3x3_concat(
+            x.astype(self.dtype),
+            a,
+            off,
+            x2.astype(self.dtype),
+            a2,
+            off2,
+            kernel.astype(self.dtype),
+            bias,
+            interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
+
+
+def _fused_gn_conv_enabled() -> bool:
+    import os
+
+    return os.environ.get("POLYFF_FUSED_GN_CONV", "0") == "1"
+
+
 class ResBlock(nn.Module):
     """GN -> SiLU -> conv, +time-emb, GN -> SiLU -> conv, +skip (reference ``unet.py:262-318``).
 
@@ -177,7 +261,17 @@ class ResBlock(nn.Module):
         skip: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         c_in = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
-        if skip is None:
+        fused = _fused_gn_conv_enabled()
+        if fused and skip is not None:
+            c1 = x.shape[-1]
+            a, off = FP32GroupNorm(name="in_norm")(x, skip, return_affine=True)
+            h = FusedGNConvConcat(self.out_channels, self.dtype, name="in_conv")(
+                x, a[:, :c1], off[:, :c1], skip, a[:, c1:], off[:, c1:]
+            )
+        elif fused:
+            a, off = FP32GroupNorm(name="in_norm")(x, return_affine=True)
+            h = FusedGNConv(self.out_channels, self.dtype, name="in_conv")(x, a, off)
+        elif skip is None:
             h = FP32GroupNorm(name="in_norm")(x)
             h = nn.silu(h)
             h = _conv3x3(self.out_channels, self.dtype, "in_conv")(h)
@@ -190,19 +284,30 @@ class ResBlock(nn.Module):
             nn.silu(t_emb)
         )
         h = h + emb[:, None, None, :].astype(h.dtype)
-        h = FP32GroupNorm(name="out_norm")(h)
-        h = nn.silu(h)
-        h = _conv3x3(self.out_channels, self.dtype, "out_conv")(h)
+
+        # residual input (computed before out_conv so the fused kernel can fold
+        # the final add into its output pass)
         if c_in != self.out_channels:
             if skip is None:
-                x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
+                res = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
             else:
-                x = ConcatConv(self.out_channels, (1, 1), self.dtype, name="skip")(
+                res = ConcatConv(self.out_channels, (1, 1), self.dtype, name="skip")(
                     x, skip
                 )
         elif skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
-        return x + h
+            res = jnp.concatenate([x, skip], axis=-1)
+        else:
+            res = x
+
+        if _fused_gn_conv_enabled():
+            a2, off2 = FP32GroupNorm(name="out_norm")(h, return_affine=True)
+            return FusedGNConv(self.out_channels, self.dtype, name="out_conv")(
+                h, a2, off2, residual=res
+            )
+        h = FP32GroupNorm(name="out_norm")(h)
+        h = nn.silu(h)
+        h = _conv3x3(self.out_channels, self.dtype, "out_conv")(h)
+        return res + h
 
 
 class CrossAttention(nn.Module):

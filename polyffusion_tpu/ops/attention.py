@@ -93,13 +93,18 @@ def multihead_attention(
         and d in (64, 128)
         and tq % 128 == 0
     ):
-        from .fused_attention import fused_self_attention
+        from .fused_attention import fused_self_attention_packed
 
-        qh = jnp.swapaxes(q, 1, 2).reshape(b * h, tq, d)
-        kh = jnp.swapaxes(k, 1, 2).reshape(b * h, tk, d)
-        vh = jnp.swapaxes(v, 1, 2).reshape(b * h, tk, d)
-        out = fused_self_attention(qh, kh, vh, scale)
-        return jnp.swapaxes(out.reshape(b, h, tq, d), 1, 2)
+        # (B, T, H, D) -> (B, T, H*D) is a free reshape (minor dims contiguous);
+        # the kernel slices heads in VMEM, so no head transposes hit HBM
+        out = fused_self_attention_packed(
+            q.reshape(b, tq, h * d),
+            k.reshape(b, tk, h * d),
+            v.reshape(b, tk, h * d),
+            scale,
+            h,
+        )
+        return out.reshape(b, tq, h, d)
 
     if use_flash is None:
         # Measured on v5e: for this model's shapes (seq <= 1024, 4 heads, d 64)

@@ -50,6 +50,131 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         o_ref[i] = o.astype(o_ref.dtype)
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_heads: int):
+    """One grid step: (1, T, H*D) packed q/k/v -> (1, T, H*D) out.
+
+    Heads are lane-sliced in VMEM — the caller passes the attention projections
+    EXACTLY as the Dense layers produce them, so no (B,T,H,D)<->(B,H,T,D)
+    layout copies ever hit HBM (profiled at ~5% of sampling)."""
+    t, hd = q_ref.shape[1], q_ref.shape[2]
+    d = hd // n_heads
+    for h in range(n_heads):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl]  # (T, D)
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, sl] = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _pallas_attention_packed(q, k, v, scale, n_heads, interpret):
+    b, t, hd = q.shape
+    spec = pl.BlockSpec((1, t, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    d = hd // n_heads
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale, n_heads=n_heads),
+        out_shape=jax.ShapeDtypeStruct((b, t, hd), q.dtype),
+        grid=(b,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_heads * t * t * d,
+            bytes_accessed=4 * b * t * hd * q.dtype.itemsize,
+            transcendentals=b * n_heads * t * t,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _einsum_reference_packed(q, k, v, scale, n_heads):
+    b, t, hd = q.shape
+    d = hd // n_heads
+    qh = q.reshape(b, t, n_heads, d)
+    kh = k.reshape(b, t, n_heads, d)
+    vh = v.reshape(b, t, n_heads, d)
+    s = jnp.einsum("bihd,bjhd->bhij", qh, kh, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1)
+    o = jnp.einsum(
+        "bhij,bjhd->bihd", p.astype(v.dtype), vh, preferred_element_type=jnp.float32
+    )
+    return o.reshape(b, t, hd).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_packed(q, k, v, scale, n_heads, interpret):
+    return _pallas_attention_packed(q, k, v, scale, n_heads, interpret)
+
+
+def _fused_packed_fwd(q, k, v, scale, n_heads, interpret):
+    return _fused_packed(q, k, v, scale, n_heads, interpret), (q, k, v)
+
+
+def _fused_packed_bwd(scale, n_heads, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _einsum_reference_packed(q, k, v, scale, n_heads), q, k, v
+    )
+    return vjp(g)
+
+
+_fused_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "n_heads", "interpret"))
+def fused_self_attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    n_heads: int,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, T, H*D) packed self-attention; heads sliced in VMEM.
+
+    Differentiable (recomputing custom VJP through the einsum reference)."""
+    return _fused_packed(q, k, v, scale, n_heads, interpret)
+
+
+def _einsum_reference(q, k, v, scale):
+    """Plain XLA attention with fp32 softmax, numerically matching the kernel.
+
+    Used as the RECOMPUTING BACKWARD of the custom VJP below (Pallas kernels do
+    not support reverse-mode autodiff): training backward differentiates this,
+    while both training and sampling forwards run the fused kernel."""
+    s = jnp.einsum("bid,bjd->bij", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1)
+    return jnp.einsum(
+        "bij,bjd->bid", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused(q, k, v, scale, block_bh, interpret):
+    return _pallas_attention(q, k, v, scale, block_bh, interpret)
+
+
+def _fused_fwd(q, k, v, scale, block_bh, interpret):
+    return _fused(q, k, v, scale, block_bh, interpret), (q, k, v)
+
+
+def _fused_bwd(scale, block_bh, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _einsum_reference(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_bh", "interpret"))
 def fused_self_attention(
     q: jnp.ndarray,
@@ -62,9 +187,16 @@ def fused_self_attention(
 ) -> jnp.ndarray:
     """(BH, T, D) x (BH, T, D) -> (BH, T, D); full-sequence softmax in VMEM.
 
+    Differentiable: forward runs the Pallas kernel, backward recomputes through
+    the einsum reference (custom VJP).
+
     ``block_bh``: (batch*head) pairs per grid step; 0 auto-sizes to keep the
     per-step fp32 logits + operand footprint under ~6 MB of VMEM.
     """
+    return _fused(q, k, v, scale, block_bh, interpret)
+
+
+def _pallas_attention(q, k, v, scale, block_bh, interpret):
     bh, t, d = q.shape
     if block_bh == 0:
         # one (T, T) fp32 logits buffer is reused across the unrolled loop;

@@ -64,3 +64,53 @@ def test_block_auto_sizing_covers_odd_bh():
     out = fused_self_attention(q, q, q, d**-0.5, interpret=True)
     assert out.shape == (bh, t, d)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_attention_is_differentiable():
+    """Training path: custom VJP recomputes through the einsum reference."""
+    rng = np.random.default_rng(3)
+    t, d, bh = 128, 64, 4
+    q = jnp.asarray(rng.standard_normal((bh, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bh, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, t, d)), jnp.float32)
+    scale = d**-0.5
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_self_attention(q, k, v, scale, interpret=True) ** 2)
+
+    from polyffusion_tpu.ops.fused_attention import _einsum_reference
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_einsum_reference(q, k, v, scale) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_packed_kernel_matches_reference():
+    from polyffusion_tpu.ops.fused_attention import (
+        _einsum_reference_packed,
+        fused_self_attention_packed,
+    )
+
+    rng = np.random.default_rng(4)
+    b, t, nh, d = 3, 256, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, t, nh * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, nh * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, nh * d)), jnp.float32)
+    scale = d**-0.5
+    got = fused_self_attention_packed(q, k, v, scale, nh, interpret=True)
+    want = _einsum_reference_packed(q, k, v, scale, nh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    g = jax.grad(
+        lambda q: jnp.sum(
+            fused_self_attention_packed(q, k, v, scale, nh, interpret=True) ** 2
+        )
+    )(q)
+    gr = jax.grad(
+        lambda q: jnp.sum(_einsum_reference_packed(q, k, v, scale, nh) ** 2)
+    )(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4)
