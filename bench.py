@@ -68,10 +68,11 @@ def _measure(fn, n_iters, max_reruns=2):
 
 
 def main():
-    # sampling-path kernel defaults (overridable): fused GN+SiLU+conv is
-    # sampling-only (its recomputing backward would tax training), fused
-    # attention is global (training-neutral, measured)
-    os.environ.setdefault("POLYFF_FUSED_GN_CONV", "1")
+    # sampling-path kernel defaults (overridable).  Fused attention is on by
+    # default (measured +3.7%, ops/attention.py); the fused GN+SiLU+conv Pallas
+    # kernel is NOT — measured 6.69 samples/s vs 13.7 with XLA's conv path
+    # (its per-item im2col copies lose to XLA's native conv lowering; see
+    # TODO.md round-2 log).  POLYFF_FUSED_GN_CONV=1 opts in.
     import jax
 
     # persistent compile cache: repeat bench runs skip the (minutes-long) TPU compile

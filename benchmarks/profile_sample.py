@@ -38,7 +38,12 @@ def capture(outdir: str, batch: int) -> None:
     cfg["bf16"] = True
     task = SDFTask(cfg)
     rng = jax.random.PRNGKey(0)
-    params = jax.device_put(init_on_cpu(task.init_params, rng), jax.devices()[0])
+    params = init_on_cpu(task.init_params, rng)
+    if os.environ.get("POLYFF_BF16_PARAMS", "1") == "1":  # mirror bench.py
+        from polyffusion_tpu.utils.precision import cast_sampling_params
+
+        params = cast_sampling_params(params)
+    params = jax.device_put(params, jax.devices()[0])
     schedule = make_schedule(cfg.n_steps, cfg.linear_start, cfg.linear_end)
     dd = make_ddim_schedule(schedule, 50, "uniform", 0.0)
     cond = jnp.zeros((batch, 1, cfg.d_cond), jnp.float32)

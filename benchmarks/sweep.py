@@ -16,15 +16,36 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 VARIANTS = [
-    # name, env overrides (on top of current env)
+    # name, env overrides (on top of current env).  bench.py defaults
+    # POLYFF_FUSED_GN_CONV=1, so variants that predate that kernel pin it off.
     ("r1_baseline", {"POLYFF_BF16_PARAMS": "0", "POLYFF_FUSED_ATTN": "0",
-                     "POLYFF_MATERIALIZE_CONCAT": "1", "POLYFF_LEGACY_UPSAMPLE": "1"}),
+                     "POLYFF_MATERIALIZE_CONCAT": "1", "POLYFF_LEGACY_UPSAMPLE": "1",
+                     "POLYFF_FUSED_GN_CONV": "0"}),
     ("bf16_params", {"POLYFF_BF16_PARAMS": "1", "POLYFF_FUSED_ATTN": "0",
-                     "POLYFF_MATERIALIZE_CONCAT": "1"}),
-    ("virtual_concat", {"POLYFF_BF16_PARAMS": "1", "POLYFF_FUSED_ATTN": "0"}),
+                     "POLYFF_MATERIALIZE_CONCAT": "1", "POLYFF_FUSED_GN_CONV": "0"}),
+    ("virtual_concat", {"POLYFF_BF16_PARAMS": "1", "POLYFF_FUSED_ATTN": "0",
+                        "POLYFF_FUSED_GN_CONV": "0"}),
     ("fused_attn", {"POLYFF_BF16_PARAMS": "1", "POLYFF_FUSED_ATTN": "1",
-                    "POLYFF_MATERIALIZE_CONCAT": "1"}),
-    ("all", {"POLYFF_BF16_PARAMS": "1", "POLYFF_FUSED_ATTN": "1"}),
+                    "POLYFF_MATERIALIZE_CONCAT": "1", "POLYFF_FUSED_GN_CONV": "0"}),
+    ("r2_combined", {"POLYFF_BF16_PARAMS": "1", "POLYFF_FUSED_ATTN": "1",
+                     "POLYFF_FUSED_GN_CONV": "0"}),
+    # round-2 kernel additions on top of r2_combined
+    ("fused_gn_conv", {"POLYFF_BF16_PARAMS": "1", "POLYFF_FUSED_ATTN": "1",
+                       "POLYFF_FUSED_GN_CONV": "1"}),
+    ("int8_conv", {"POLYFF_BF16_PARAMS": "1", "POLYFF_FUSED_ATTN": "1",
+                   "POLYFF_INT8_CONV": "1"}),
+    # CFG fork re-test: lost 1.5% when bandwidth-bound (round 1); now that the
+    # path is compute-bound the ~7% FLOP saving may win
+    ("cfg_fork", {"POLYFF_BF16_PARAMS": "1", "POLYFF_FUSED_ATTN": "1",
+                  "POLYFF_CFG_FORK": "1"}),
+    ("int8_fork", {"POLYFF_BF16_PARAMS": "1", "POLYFF_FUSED_ATTN": "1",
+                   "POLYFF_INT8_CONV": "1", "POLYFF_CFG_FORK": "1"}),
+    # int8 through XLA's native s8 conv (ops/quant.py) — no Pallas involved
+    ("int8_xla", {"POLYFF_BF16_PARAMS": "1", "POLYFF_FUSED_ATTN": "1",
+                  "POLYFF_FUSED_GN_CONV": "0", "POLYFF_INT8_XLA": "1"}),
+    ("int8_xla_fork", {"POLYFF_BF16_PARAMS": "1", "POLYFF_FUSED_ATTN": "1",
+                       "POLYFF_FUSED_GN_CONV": "0", "POLYFF_INT8_XLA": "1",
+                       "POLYFF_CFG_FORK": "1"}),
 ]
 
 

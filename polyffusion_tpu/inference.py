@@ -94,9 +94,15 @@ def get_autoreg_data(data: np.ndarray, axis: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def load_unet_params(chkpt_path: str, task, torch_converter=None, prefixes=None):
+def load_unet_params(
+    chkpt_path: str, task, torch_converter=None, prefixes=None, use_ema: bool = False
+):
     """Load UNet weights from an orbax run dir, a torch legacy ``.pt``, or a
-    lightning ``.ckpt`` (reference inference_sdf.py:702-734)."""
+    lightning ``.ckpt`` (reference inference_sdf.py:702-734).
+
+    ``use_ema``: prefer the EMA parameter branch when the run was trained with
+    the ``ema_decay`` config key (orbax run dirs only).
+    """
     if os.path.isdir(chkpt_path):
         import jax
         import orbax.checkpoint as ocp
@@ -114,13 +120,22 @@ def load_unet_params(chkpt_path: str, task, torch_converter=None, prefixes=None)
         from .parallel.mesh import init_on_cpu
 
         optimizer = make_optimizer(1e-4)
+        # the template must mirror the run's state structure (ema branch or not)
         template = create_state(
-            init_on_cpu(task.init_params, jax.random.PRNGKey(0)), optimizer
+            init_on_cpu(task.init_params, jax.random.PRNGKey(0)),
+            optimizer,
+            ema_decay=task.cfg.get("ema_decay", None),
         )
         restored = mgr.restore(
             step, args=ocp.args.StandardRestore({"state": template})
         )
-        return restored["state"].params
+        state = restored["state"]
+        if use_ema:
+            assert state.ema is not None, (
+                "--use_ema: this run has no EMA branch (train with ema_decay)"
+            )
+            return state.ema
+        return state.params
 
     from .convert.torch_import import torch_file_to_numpy, unet_params_from_torch
 
@@ -521,10 +536,9 @@ def _main_ddpm(cfg, args):
 
 
 def main(argv=None):
-    # sampling-only kernel default: fused GN+SiLU+conv (ops/fused_gn_conv.py);
-    # training keeps XLA's saved-activation backward, so the Trainer does not
-    # set this.  Override with POLYFF_FUSED_GN_CONV=0.
-    os.environ.setdefault("POLYFF_FUSED_GN_CONV", "1")
+    # NOTE: the fused GN+SiLU+conv Pallas kernel (POLYFF_FUSED_GN_CONV=1) is
+    # opt-in — measured ~2x SLOWER than XLA's conv path on the headline
+    # sampling benchmark (6.69 vs 13.7 samples/s, TODO.md round-2 log).
     p = argparse.ArgumentParser(description="polyffusion_tpu generation / inpainting")
     p.add_argument("--model", default=None, help="params preset name (default: from ckpt dir)")
     p.add_argument("--chkpt_path", required=True, help="run dir (orbax) or torch .pt/.ckpt")
@@ -580,6 +594,11 @@ def main(argv=None):
         "MIDI and exit (reference inference_sdf.py:645-651)",
     )
     p.add_argument(
+        "--use_ema",
+        action="store_true",
+        help="sample from the EMA parameter branch (runs trained with ema_decay)",
+    )
+    p.add_argument(
         "--bf16_params",
         action="store_true",
         help="cast UNet weights to bfloat16 for sampling (faster on TPU; tiny "
@@ -603,7 +622,7 @@ def main(argv=None):
         return _main_ddpm(cfg, args)
 
     task = build_task_for_inference(cfg, args.pretrained_dir)
-    params = load_unet_params(args.chkpt_path, task)
+    params = load_unet_params(args.chkpt_path, task, use_ema=args.use_ema)
     session = InferenceSession(
         task,
         params,

@@ -191,6 +191,15 @@ class FusedGNConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        if _int8_conv_enabled():
+            from ..ops.fused_gn_conv import gn_silu_conv3x3_q, quantize_conv_kernel
+
+            w_q, w_scale = quantize_conv_kernel(kernel)  # hoisted out of the scan
+            return gn_silu_conv3x3_q(
+                x.astype(self.dtype), a, off, w_q, w_scale, bias, residual,
+                interpret=interpret,
+            )
         from ..ops.fused_gn_conv import gn_silu_conv3x3
 
         return gn_silu_conv3x3(
@@ -200,7 +209,7 @@ class FusedGNConv(nn.Module):
             kernel.astype(self.dtype),
             bias,
             residual,
-            interpret=jax.default_backend() not in ("tpu", "axon"),
+            interpret=interpret,
         )
 
 
@@ -220,6 +229,18 @@ class FusedGNConvConcat(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (3, 3, c1 + c2, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        if _int8_conv_enabled():
+            from ..ops.fused_gn_conv import (
+                gn_silu_conv3x3_concat_q,
+                quantize_conv_kernel,
+            )
+
+            w_q, w_scale = quantize_conv_kernel(kernel)
+            return gn_silu_conv3x3_concat_q(
+                x.astype(self.dtype), a, off, x2.astype(self.dtype), a2, off2,
+                w_q, w_scale, bias, interpret=interpret,
+            )
         from ..ops.fused_gn_conv import gn_silu_conv3x3_concat
 
         return gn_silu_conv3x3_concat(
@@ -231,14 +252,78 @@ class FusedGNConvConcat(nn.Module):
             off2,
             kernel.astype(self.dtype),
             bias,
-            interpret=jax.default_backend() not in ("tpu", "axon"),
+            interpret=interpret,
         )
 
 
 def _fused_gn_conv_enabled() -> bool:
     import os
 
-    return os.environ.get("POLYFF_FUSED_GN_CONV", "0") == "1"
+    return (
+        os.environ.get("POLYFF_FUSED_GN_CONV", "0") == "1" or _int8_conv_enabled()
+    )
+
+
+def _int8_conv_enabled() -> bool:
+    """int8 ResBlock convolutions (sampling-only, POLYFF_INT8_CONV=1).
+
+    Implies the fused GN+SiLU+conv path: quantization happens in VMEM inside
+    the fused kernel.  Attention/Dense/head convs stay bf16.
+    """
+    import os
+
+    return os.environ.get("POLYFF_INT8_CONV", "0") == "1"
+
+
+def _int8_xla_enabled() -> bool:
+    """int8 ResBlock convolutions through XLA's native s8 conv
+    (POLYFF_INT8_XLA=1, ops/quant.py) — the non-Pallas int8 route.
+    Ignored when the fused-kernel int8 path is on."""
+    import os
+
+    return (
+        os.environ.get("POLYFF_INT8_XLA", "0") == "1" and not _int8_conv_enabled()
+    )
+
+
+class Int8Conv3x3(nn.Module):
+    """Param-compatible stand-in for the 3x3 ``nn.Conv`` over an already
+    SiLU'd input, contracting on the int8 MXU (ops/quant.py)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        c = y.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        from ..ops.quant import int8_conv
+
+        return int8_conv(y.astype(self.dtype), kernel, bias)
+
+
+class Int8ConcatConv(nn.Module):
+    """int8 ``ConcatConv``: the two virtual-concat parts are separate linear
+    terms, so each is quantized with its own activation scale."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y2: jnp.ndarray) -> jnp.ndarray:
+        c1, c2 = y.shape[-1], y2.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c1 + c2, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        from ..ops.quant import int8_conv
+
+        out = int8_conv(y.astype(self.dtype), kernel[:, :, :c1], None)
+        out = out + int8_conv(y2.astype(self.dtype), kernel[:, :, c1:], None)
+        return out + bias.astype(out.dtype)
 
 
 class ResBlock(nn.Module):
@@ -274,12 +359,21 @@ class ResBlock(nn.Module):
         elif skip is None:
             h = FP32GroupNorm(name="in_norm")(x)
             h = nn.silu(h)
-            h = _conv3x3(self.out_channels, self.dtype, "in_conv")(h)
+            if _int8_xla_enabled():
+                h = Int8Conv3x3(self.out_channels, self.dtype, name="in_conv")(h)
+            else:
+                h = _conv3x3(self.out_channels, self.dtype, "in_conv")(h)
         else:
             h1, h2 = FP32GroupNorm(name="in_norm")(x, skip)
-            h = ConcatConv(self.out_channels, (3, 3), self.dtype, name="in_conv")(
-                nn.silu(h1), nn.silu(h2)
-            )
+            conv_cls = Int8ConcatConv if _int8_xla_enabled() else None
+            if conv_cls is not None:
+                h = conv_cls(self.out_channels, self.dtype, name="in_conv")(
+                    nn.silu(h1), nn.silu(h2)
+                )
+            else:
+                h = ConcatConv(self.out_channels, (3, 3), self.dtype, name="in_conv")(
+                    nn.silu(h1), nn.silu(h2)
+                )
         emb = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(
             nn.silu(t_emb)
         )
@@ -306,7 +400,10 @@ class ResBlock(nn.Module):
             )
         h = FP32GroupNorm(name="out_norm")(h)
         h = nn.silu(h)
-        h = _conv3x3(self.out_channels, self.dtype, "out_conv")(h)
+        if _int8_xla_enabled():
+            h = Int8Conv3x3(self.out_channels, self.dtype, name="out_conv")(h)
+        else:
+            h = _conv3x3(self.out_channels, self.dtype, "out_conv")(h)
         return res + h
 
 

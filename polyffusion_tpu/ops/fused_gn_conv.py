@@ -33,12 +33,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(*refs, add_residual: bool, two_inputs: bool):
+def _kernel(*refs, add_residual: bool, two_inputs: bool, quantized: bool = False):
     if two_inputs:
-        x_ref, a_ref, off_ref, x2_ref, a2_ref, off2_ref, w_ref, b_ref, *rest = refs
+        x_ref, a_ref, off_ref, x2_ref, a2_ref, off2_ref, w_ref, *rest = refs
     else:
-        x_ref, a_ref, off_ref, w_ref, b_ref, *rest = refs
+        x_ref, a_ref, off_ref, w_ref, *rest = refs
         x2_ref = None
+    if quantized:
+        ws_ref, *rest = rest  # (1, O) fp32 per-output-channel weight scales
+    b_ref, *rest = rest
     if add_residual:
         res_ref, o_ref, xpad_ref, im2col_ref = rest
     else:
@@ -47,12 +50,12 @@ def _kernel(*refs, add_residual: bool, two_inputs: bool):
     ctot = xpad_ref.shape[-1]
     o = o_ref.shape[-1]
 
-    def silu_affine(ref, aref, offref):
+    def silu_affine32(ref, aref, offref):
         x = ref[0].astype(jnp.float32)
         a = aref[0, 0].astype(jnp.float32)
         off = offref[0, 0].astype(jnp.float32)
         y = x * a[None, None, :] + off[None, None, :]
-        return (y * jax.nn.sigmoid(y)).astype(xpad_ref.dtype)
+        return y * jax.nn.sigmoid(y)
 
     # borders are never written after init; interior is overwritten every step
     @pl.when(pl.program_id(0) == 0)
@@ -62,29 +65,55 @@ def _kernel(*refs, add_residual: bool, two_inputs: bool):
     # normalize + SiLU into the padded VMEM buffer (fp32 arithmetic, bf16 store);
     # with two inputs this builds the VIRTUAL channel-concat in VMEM — the
     # decoder skip-concat never exists in HBM at all
-    xpad_ref[1 : h + 1, 1 : w + 1, 0:c1] = silu_affine(x_ref, a_ref, off_ref)
+    t1 = silu_affine32(x_ref, a_ref, off_ref)
+    xpad_ref[1 : h + 1, 1 : w + 1, 0:c1] = t1.astype(xpad_ref.dtype)
+    amax = jnp.max(jnp.abs(t1))
     if two_inputs:
-        xpad_ref[1 : h + 1, 1 : w + 1, c1:ctot] = silu_affine(
-            x2_ref, a2_ref, off2_ref
-        )
+        t2 = silu_affine32(x2_ref, a2_ref, off2_ref)
+        xpad_ref[1 : h + 1, 1 : w + 1, c1:ctot] = t2.astype(xpad_ref.dtype)
+        amax = jnp.maximum(amax, jnp.max(jnp.abs(t2)))
+
+    if quantized:
+        # dynamic per-batch-item symmetric int8 scale for the activation; the
+        # true max of the SiLU'd tensor (not a bound), so resolution adapts to
+        # the actual range every step
+        amax = jnp.maximum(amax, 1e-6)
+        inv = 127.0 / amax
+        act_scale = amax * (1.0 / 127.0)
 
     th = im2col_ref.shape[0]  # H processed in chunks to bound im2col VMEM
     bias32 = b_ref[0].astype(jnp.float32)[None, None, :]
     for t0 in range(0, h, th):
-        acc = jnp.zeros((th * w, o), jnp.float32)
+        if quantized:
+            acc = jnp.zeros((th * w, o), jnp.int32)
+        else:
+            acc = jnp.zeros((th * w, o), jnp.float32)
         for kh in range(3):
             # explicit stores realign the shifted slices' internal vector
             # offsets (Mosaic cannot concat vectors with mismatched offsets)
             for kw in range(3):
-                im2col_ref[:, :, kw * ctot : (kw + 1) * ctot] = xpad_ref[
-                    t0 + kh : t0 + kh + th, kw : kw + w, :
-                ]
+                shifted = xpad_ref[t0 + kh : t0 + kh + th, kw : kw + w, :]
+                if quantized:
+                    # quantize on the way into the int8 im2col buffer: all int8
+                    # stores/loads stay tile-aligned (packed-dtype sublane
+                    # shifts never occur — the shifts happen on the bf16 side)
+                    q = jnp.clip(
+                        jnp.round(shifted.astype(jnp.float32) * inv), -127.0, 127.0
+                    )
+                    im2col_ref[:, :, kw * ctot : (kw + 1) * ctot] = q.astype(jnp.int8)
+                else:
+                    im2col_ref[:, :, kw * ctot : (kw + 1) * ctot] = shifted
             acc = acc + jnp.dot(
                 im2col_ref[:].reshape(th * w, 3 * ctot),
                 w_ref[kh],  # (3*Ctot, O), kw-major rows matching the store order
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc.dtype,
             )
-        out = acc.reshape(th, w, o) + bias32
+        if quantized:
+            scales = act_scale * ws_ref[0].astype(jnp.float32)  # (O,)
+            out = acc.astype(jnp.float32).reshape(th, w, o) * scales[None, None, :]
+            out = out + bias32
+        else:
+            out = acc.reshape(th, w, o) + bias32
         if add_residual:
             out = out + res_ref[0, t0 : t0 + th].astype(jnp.float32)
         o_ref[0, t0 : t0 + th] = out.astype(o_ref.dtype)
@@ -155,7 +184,10 @@ def _h_chunk(h: int, wd: int, ctot: int, itemsize: int, budget=4 * 2**20) -> int
     return th
 
 
-def _pallas_gn_conv(x, a, off, w, b, residual, interpret, x2=None, a2=None, off2=None):
+def _pallas_gn_conv(
+    x, a, off, w, b, residual, interpret, x2=None, a2=None, off2=None, w_scale=None
+):
+    quantized = w_scale is not None  # then w is int8 with per-O-channel scales
     bsz, h, wd, c1 = x.shape
     c2 = x2.shape[-1] if x2 is not None else 0
     ctot = c1 + c2
@@ -183,19 +215,29 @@ def _pallas_gn_conv(x, a, off, w, b, residual, interpret, x2=None, a2=None, off2
     if x2 is not None:
         operands += [x2, v3(a2, c2), v3(off2, c2)]
         in_specs += [tspec(c2), vspec(c2), vspec(c2)]
-    operands += [
-        w.astype(x.dtype).reshape(3, 3 * ctot, o),
-        b.astype(jnp.float32).reshape(1, o),
-    ]
-    in_specs += [wspec, bspec]
+    operands.append(
+        w.reshape(3, 3 * ctot, o) if quantized
+        else w.astype(x.dtype).reshape(3, 3 * ctot, o)
+    )
+    in_specs.append(wspec)
+    if quantized:
+        operands.append(w_scale.astype(jnp.float32).reshape(1, o))
+        in_specs.append(bspec)
+    operands.append(b.astype(jnp.float32).reshape(1, o))
+    in_specs.append(bspec)
     if residual is not None:
         operands.append(residual)
         in_specs.append(ospec)
 
+    im2col_dtype = jnp.int8 if quantized else x.dtype
+    im2col_itemsize = 1 if quantized else x.dtype.itemsize
     flops = 2 * bsz * h * wd * 9 * ctot * o
     return pl.pallas_call(
         functools.partial(
-            _kernel, add_residual=residual is not None, two_inputs=x2 is not None
+            _kernel,
+            add_residual=residual is not None,
+            two_inputs=x2 is not None,
+            quantized=quantized,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, h, wd, o), x.dtype),
         grid=(bsz,),
@@ -203,7 +245,7 @@ def _pallas_gn_conv(x, a, off, w, b, residual, interpret, x2=None, a2=None, off2
         out_specs=ospec,
         scratch_shapes=[
             pltpu.VMEM((h + 2, wd + 2, ctot), x.dtype),
-            pltpu.VMEM((_h_chunk(h, wd, ctot, x.dtype.itemsize), wd, 3 * ctot), x.dtype),
+            pltpu.VMEM((_h_chunk(h, wd, ctot, im2col_itemsize), wd, 3 * ctot), im2col_dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -265,3 +307,95 @@ def gn_silu_conv3x3_concat(
     virtual-concat GN affine).  Differentiable (recomputing custom VJP).
     """
     return _fused2(x, a, off, x2, a2, off2, w, b, residual, interpret)
+
+
+# ----- int8 quantized variants (sampling-only) -------------------------------
+#
+# The v5e MXU runs int8 at 2x the bf16 rate; with the sampling path now at
+# >50% MXU utilization (compute-bound), quantizing the conv contractions is the
+# remaining first-order lever.  Scheme: symmetric int8, per-output-channel
+# weight scales (static, from the weight amax) and a per-batch-item dynamic
+# activation scale taken from the TRUE max of the normalized+SiLU'd tensor —
+# computed for free inside the kernel, where the tensor already lives in VMEM.
+# int8 stores/loads stay tile-aligned (quantization happens on the way into the
+# im2col buffer; the sublane-shifted slices happen on the bf16 side), so no
+# packed-dtype relayouts are required of Mosaic.
+
+
+def quantize_conv_kernel(w: jnp.ndarray):
+    """(3, 3, C, O) float kernel -> (int8 kernel, (O,) fp32 scales).
+
+    Symmetric per-output-channel quantization.  Called on loop-invariant
+    parameters: under ``jit`` + ``lax.scan`` XLA hoists it out of the sampling
+    loop, so the quantization cost is paid once per compiled call.
+    """
+    w32 = w.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-8)  # (O,)
+    scale = amax / 127.0
+    q = jnp.clip(jnp.round(w32 / scale[None, None, None, :]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def gn_silu_conv3x3_q(
+    x, a, off, w_q, w_scale, b, residual=None, *, interpret: bool = False
+):
+    """int8 ``conv3x3(silu(x * a + off))`` — one HBM pass, int8 MXU contraction.
+
+    w_q: (3, 3, C, O) int8; w_scale: (O,) fp32 (from ``quantize_conv_kernel``).
+    Sampling-only: not differentiable (training keeps the bf16 kernels).
+    """
+    return _pallas_gn_conv(x, a, off, w_q, b, residual, interpret, w_scale=w_scale)
+
+
+def gn_silu_conv3x3_concat_q(
+    x, a, off, x2, a2, off2, w_q, w_scale, b, residual=None, *, interpret: bool = False
+):
+    """Two-input (virtual skip-concat) int8 variant; one shared activation scale
+    covers both parts — they are a single virtual tensor."""
+    return _pallas_gn_conv(
+        x, a, off, w_q, b, residual, interpret, x2, a2, off2, w_scale=w_scale
+    )
+
+
+def _reference_q(x, a, off, w_q, w_scale, b, residual, x2=None, a2=None, off2=None):
+    """XLA emulation of the quantized kernel's exact arithmetic (for tests).
+
+    Mirrors the kernel step for step: fp32 silu -> storage-dtype round trip ->
+    per-item dynamic scale from the fp32 silu max -> int8 round/clip -> integer
+    conv -> fp32 rescale.  The conv accumulates in fp32 (exact for these
+    magnitudes up to reassociation; tests use tolerances scaled accordingly).
+    """
+
+    def silu32(t, aa, oo):
+        y = t.astype(jnp.float32) * aa[:, None, None, :] + oo[:, None, None, :]
+        return y * jax.nn.sigmoid(y)
+
+    t1 = silu32(x, a, off)
+    ts = [t1]
+    if x2 is not None:
+        ts.append(silu32(x2, a2, off2))
+    amax = jnp.maximum(
+        jnp.max(
+            jnp.concatenate([jnp.abs(t).reshape(x.shape[0], -1) for t in ts], -1),
+            axis=-1,
+        ),
+        1e-6,
+    )  # (B,)
+    inv = (127.0 / amax)[:, None, None, None]
+    parts = [
+        jnp.clip(jnp.round(t.astype(x.dtype).astype(jnp.float32) * inv), -127, 127)
+        for t in ts
+    ]
+    qx = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+    acc = jax.lax.conv_general_dilated(
+        qx,
+        w_q.astype(jnp.float32),
+        (1, 1),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = acc * (amax[:, None, None, None] / 127.0) * w_scale[None, None, None, :]
+    out = out + b.astype(jnp.float32)
+    if residual is not None:
+        out = out + residual.astype(jnp.float32)
+    return out.astype(x.dtype)

@@ -1,0 +1,206 @@
+"""Long-running generation worker: load once, compile once, serve many.
+
+Beyond-reference QoL (the reference re-loads the model per ``inference_sdf.py``
+invocation): a dependency-free stdlib HTTP worker that keeps the checkpoint and
+the jitted sampling loop resident on the chip.  Requests are padded to a fixed
+batch shape so every call after warmup reuses the same compiled executable.
+
+    python -m polyffusion_tpu.serve --chkpt_path <run dir> [--port 8763] \
+        [--batch_size 8] [--ddim --ddim_steps 50] [--use_ema]
+
+Endpoints (JSON in / JSON out):
+
+    GET  /healthz   -> {"ok": true, "model": ..., "warm": true}
+    GET  /stats     -> request/sample counters + last device latency
+    POST /generate  -> body {"num": 4, "uncond_scale": 1.0, "seed": 123,
+                             "chord": [[...one-hot (32, 36)...], ...]}   (optional)
+                       reply {"midi_b64": ..., "integrity_err": 0.01,
+                              "num": 4, "device_ms": ...}
+
+``chord`` (one (32, 36) one-hot matrix per requested sample) conditions
+chord-cond models; omitted -> unconditional (-1) conditioning, matching the
+reference's uncond prompts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import tempfile
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+
+from .config import load_params
+from .inference import InferenceSession, build_task_for_inference, load_unet_params
+from .utils.midi_io import prmat2c_to_midi_file
+from .utils.reprs import check_prmat2c_integrity
+
+
+class GenerationWorker:
+    """Owns the session and serializes generation calls (one chip, one queue)."""
+
+    def __init__(self, args):
+        if os.path.isdir(args.chkpt_path) and args.model is None:
+            cfg = load_params(os.path.join(args.chkpt_path, "params.yaml"))
+        else:
+            cfg = load_params(args.model or "sdf_chd8bar")
+        self.cfg = cfg
+        self.batch = args.batch_size
+        task = build_task_for_inference(cfg, args.pretrained_dir)
+        params = load_unet_params(args.chkpt_path, task, use_ema=args.use_ema)
+        self.task = task
+        self.session = InferenceSession(
+            task,
+            params,
+            use_ddim=args.ddim,
+            ddim_steps=args.ddim_steps,
+            ddim_eta=args.ddim_eta,
+            seed=args.seed,
+            bf16_params=args.bf16_params,
+        )
+        self.requests = 0
+        self.samples = 0
+        self.last_device_ms = None
+        self.warm = False
+
+    def warmup(self):
+        t0 = time.time()
+        self.generate(num=1, uncond_scale=1.0)
+        self.warm = True
+        print(f"[serve] warmup compile + first batch: {time.time() - t0:.1f}s")
+
+    def _cond(self, num: int, chord):
+        d = self.cfg.d_cond
+        if chord is not None:
+            chord = np.asarray(chord, np.float32)
+            assert chord.shape == (num, 32, 36), f"chord shape {chord.shape}"
+            # encode_chord handles both raw (reshape) and VAE-encoded conditioning
+            cond = np.asarray(self.task.encode_chord(chord))
+            assert cond.shape[-1] == d, f"cond dim {cond.shape[-1]} != d_cond {d}"
+        else:
+            cond = -np.ones((num, 1, d), np.float32)
+        return cond
+
+    def generate(self, num: int, uncond_scale: float, seed=None, chord=None):
+        assert 1 <= num <= self.batch, f"num must be in [1, {self.batch}]"
+        import jax
+
+        if seed is not None:
+            self.session.rng = jax.random.PRNGKey(int(seed))
+        cond = self._cond(num, chord)
+        # pad to the fixed batch so the compiled executable is reused
+        if num < self.batch:
+            pad = np.repeat(cond[-1:], self.batch - num, axis=0)
+            cond = np.concatenate([cond, pad], axis=0)
+        t0 = time.time()
+        gen = self.session.predict(cond, uncond_scale=uncond_scale)[:num]
+        device_ms = (time.time() - t0) * 1000.0
+        self.requests += 1
+        self.samples += num
+        self.last_device_ms = device_ms
+        err = check_prmat2c_integrity(gen)
+        with tempfile.NamedTemporaryFile(suffix=".mid", delete=False) as f:
+            path = f.name
+        try:
+            prmat2c_to_midi_file(gen, path)
+            with open(path, "rb") as f:
+                midi = f.read()
+        finally:
+            os.unlink(path)
+        return {
+            "midi_b64": base64.b64encode(midi).decode(),
+            "integrity_err": round(float(err), 6),
+            "num": int(num),
+            "device_ms": round(device_ms, 1),
+        }
+
+
+def make_handler(worker: GenerationWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(
+                    200,
+                    {
+                        "ok": True,
+                        "model": worker.cfg.get("model_name", "?"),
+                        "warm": worker.warm,
+                    },
+                )
+            elif self.path == "/stats":
+                self._reply(
+                    200,
+                    {
+                        "requests": worker.requests,
+                        "samples": worker.samples,
+                        "last_device_ms": worker.last_device_ms,
+                        "batch_size": worker.batch,
+                    },
+                )
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                out = worker.generate(
+                    num=int(req.get("num", 1)),
+                    uncond_scale=float(req.get("uncond_scale", 1.0)),
+                    seed=req.get("seed"),
+                    chord=req.get("chord"),
+                )
+                self._reply(200, out)
+            except AssertionError as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # keep the worker alive on bad requests
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *a):  # quiet default access log
+            print(f"[serve] {self.address_string()} {fmt % a}")
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="polyffusion_tpu generation worker")
+    p.add_argument("--chkpt_path", required=True)
+    p.add_argument("--model", default=None, help="params preset (default: run dir yaml)")
+    p.add_argument("--pretrained_dir", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8763)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--ddim", action="store_true")
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--bf16_params", action="store_true")
+    p.add_argument("--no_warmup", action="store_true")
+    args = p.parse_args(argv)
+
+    worker = GenerationWorker(args)
+    if not args.no_warmup:
+        worker.warmup()
+    server = HTTPServer((args.host, args.port), make_handler(worker))
+    print(f"[serve] listening on http://{args.host}:{args.port} "
+          f"(batch {args.batch_size}, {'DDIM' if args.ddim else 'DDPM'})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -91,7 +91,12 @@ class Trainer:
         self.optimizer = make_optimizer(cfg.learning_rate, cfg.get("max_grad_norm", 10.0))
         sched_keys = param_scheduler.keys() if param_scheduler else ()
         self.sched_keys = sched_keys
-        self.train_step = make_train_step(task, self.optimizer, mesh, sched_keys)
+        # optional parameter EMA (config: ema_decay, e.g. 0.9999); sampled from
+        # at inference with --use_ema
+        self.ema_decay = cfg.get("ema_decay", None)
+        self.train_step = make_train_step(
+            task, self.optimizer, mesh, sched_keys, ema_decay=self.ema_decay
+        )
         self.eval_step = make_eval_step(task, mesh, sched_keys)
 
         self.manager = ocp.CheckpointManager(
@@ -191,7 +196,7 @@ class Trainer:
         init_rng, step_rng = jax.random.split(rng)
         params = init_on_cpu(self.task.init_params, init_rng)
         print(f"[model] {param_count(params) / 1e6:.2f}M trainable params")
-        state = create_state(params, self.optimizer)
+        state = create_state(params, self.optimizer, ema_decay=self.ema_decay)
         if resume:
             state = self.try_restore(state)
         if self.mesh is not None:

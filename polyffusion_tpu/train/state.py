@@ -20,6 +20,9 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # () int32
     params: Any
     opt_state: Any
+    # exponential moving average of params; None unless the run sets the
+    # ``ema_decay`` config key (beyond-reference QoL — the reference has no EMA)
+    ema: Any = None
 
 
 def make_optimizer(learning_rate: float, max_grad_norm: float = 10.0):
@@ -29,11 +32,14 @@ def make_optimizer(learning_rate: float, max_grad_norm: float = 10.0):
     )
 
 
-def create_state(params, optimizer) -> TrainState:
+def create_state(params, optimizer, ema_decay: float | None = None) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=optimizer.init(params),
+        # distinct buffers: the train step donates the whole state, and an
+        # aliased params/ema pair would be donated twice
+        ema=jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None,
     )
 
 

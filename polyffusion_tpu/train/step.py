@@ -19,12 +19,16 @@ from ..parallel.mesh import batch_sharding, replicated
 from .state import TrainState
 
 
-def make_train_step(task, optimizer, mesh=None, sched_keys=()):
+def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None):
     """Build the jitted training step for a Task.
 
     Returns ``step_fn(state, batch, rng, sched_vals) -> (state, metrics)`` where
     ``sched_vals`` is a tuple of scalars matching ``sched_keys`` (e.g. teacher
     forcing rates) so schedule changes don't retrigger compilation.
+
+    ``ema_decay``: when set (and ``state.ema`` is populated), the step also
+    maintains an exponential moving average of the parameters in the same
+    fused XLA program.
     """
 
     def step(state: TrainState, batch, rng, sched_vals):
@@ -44,7 +48,15 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=()):
         metrics["grad_norm"] = jnp.sqrt(
             sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree_util.tree_leaves(grads))
         )
-        new_state = TrainState(state.step + 1, params, opt_state)
+        ema = state.ema
+        if ema_decay is not None and ema is not None:
+            d = jnp.float32(ema_decay)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: (e * d + p.astype(jnp.float32) * (1 - d)).astype(e.dtype),
+                ema,
+                params,
+            )
+        new_state = TrainState(state.step + 1, params, opt_state, ema)
         return new_state, metrics
 
     if mesh is None:

@@ -180,6 +180,39 @@ def test_resume_survives_worsening_val_loss(tmp_path):
     assert int(restored.step) == 5
 
 
+def test_ema_training_and_inference_load(data_dir, tmp_path):
+    """ema_decay config maintains an EMA branch in the train state; inference
+    can sample from it via load_unet_params(use_ema=True)."""
+    import numpy as np
+
+    from polyffusion_tpu.inference import load_unet_params
+
+    mesh = make_mesh()
+    train_ds, val_ds = SegmentDataset.train_val_from_dir(data_dir, 0.75)
+    train_dl, val_dl = make_loaders(train_ds, val_ds, 8, mesh)
+    cfg = Params({**TINY_CFG, "ema_decay": 0.5})
+    task = SDFTask(cfg)
+    out = str(tmp_path / "ema")
+    trainer = Trainer(task, cfg, out, mesh=mesh, max_steps=2, log_every=1)
+    state = trainer.fit(train_dl, val_dl, resume=False)
+
+    assert state.ema is not None
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    eleaf = jax.tree_util.tree_leaves(state.ema)[0]
+    # after 2 steps at decay 0.5 the EMA lags the live params but has moved
+    assert not np.allclose(np.asarray(leaf), np.asarray(eleaf))
+
+    got = load_unet_params(out, task, use_ema=True)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(got)[0]), np.asarray(eleaf)
+    )
+    # default load still returns the live params
+    got_live = load_unet_params(out, task)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(got_live)[0]), np.asarray(leaf)
+    )
+
+
 def test_legacy_checkpoint_writing(data_dir, tmp_path):
     """legacy_checkpoints: true mirrors every save as the reference learner's
     weights.pt / weights_best.pt / info.txt (reference learner.py:104-124)."""
