@@ -63,7 +63,37 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None):
         return jax.jit(step, donate_argnums=(0,))
 
     bsh, rep = batch_sharding(mesh), replicated(mesh)
-    state_sh = rep  # params + opt state replicated
+    if "tp" in mesh.axis_names:
+        # Megatron param sharding over the tp axis (parallel/tp.py); state
+        # shardings are inferred per-leaf at the first call (jit resolves
+        # pytree-of-shardings lazily against the actual state structure).
+        # The Pallas fused-attention kernel cannot be GSPMD-partitioned —
+        # einsum attention partitions cleanly and is forced here.
+        import os
+
+        os.environ["POLYFF_FUSED_ATTN"] = "0"
+        from ..parallel.tp import infer_tp_sharding
+
+        def tp_jit(state_template):
+            state_sh = infer_tp_sharding(state_template, mesh)
+            return jax.jit(
+                step,
+                donate_argnums=(0,),
+                in_shardings=(state_sh, bsh, rep, rep),
+                out_shardings=(state_sh, rep),
+            )
+
+        compiled = {}
+
+        def dispatch(state, batch, rng, sched_vals):
+            key = jax.tree_util.tree_structure(state)
+            if key not in compiled:
+                compiled[key] = tp_jit(state)
+            return compiled[key](state, batch, rng, sched_vals)
+
+        return dispatch
+
+    state_sh = rep  # params + opt state replicated (dp-only: fastest at this size)
     return jax.jit(
         step,
         donate_argnums=(0,),
