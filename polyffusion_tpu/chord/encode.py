@@ -61,6 +61,17 @@ QUALITIES = {
 }
 
 
+#: scale-degree extensions implied by extended qualities when folding upper
+#: voicings into the octave (mir_eval ``EXTENDED_QUALITY_REDUX``, chord.py:301);
+#: the base-quality bitmaps already coincide with our QUALITIES entries
+_EXTENDED_QUALITY_DEGREES = {
+    "minmaj7": {"7"}, "maj9": {"9"}, "min9": {"9"}, "9": {"9"}, "b9": {"b9"},
+    "#9": {"#9"}, "11": {"9", "11"}, "#11": {"9", "#11"},
+    "13": {"9", "11", "13"}, "b13": {"9", "11", "b13"},
+    "min11": {"9", "11"}, "maj13": {"9", "11", "13"}, "min13": {"9", "11", "13"},
+}
+
+
 class InvalidChordError(ValueError):
     pass
 
@@ -119,8 +130,14 @@ def split(chord_label: str) -> Tuple[str, str, Set[str], str]:
     return root, quality, degrees, bass
 
 
-def encode(chord_label: str) -> Tuple[int, np.ndarray, int]:
-    """Label -> (root semitone, root-relative bitmap, bass semitone rel. root)."""
+def encode(
+    chord_label: str, wrap_extensions: bool = False
+) -> Tuple[int, np.ndarray, int]:
+    """Label -> (root semitone, root-relative bitmap, bass semitone rel. root).
+
+    ``wrap_extensions`` folds above-octave scale degrees into the 12-bitmap
+    (mir_eval's ``reduce_extended_chords``; default drops them unwrapped).
+    """
     if chord_label == NO_CHORD:
         return -1, np.zeros(12, dtype=int), -1
     if chord_label == X_CHORD:
@@ -134,13 +151,15 @@ def encode(chord_label: str) -> Tuple[int, np.ndarray, int]:
         raise InvalidChordError(f"unknown quality: {quality!r} in {chord_label!r}")
     bitmap = np.array(QUALITIES[quality], dtype=int)
     bitmap[0] = 1
+    if wrap_extensions:
+        degrees = set(degrees) | _EXTENDED_QUALITY_DEGREES.get(quality, set())
     for degree in degrees:
         sign = 1
         if degree.startswith("*"):
             sign = -1
             degree = degree.lstrip("*")
         semitone = scale_degree_to_semitone(degree)
-        if semitone < 12:  # upper extensions (>= octave) are dropped, not wrapped
+        if semitone < 12 or wrap_extensions:
             bitmap[semitone % 12] += sign
     bitmap = (bitmap > 0).astype(int)
     bitmap[bass_number] = 1
