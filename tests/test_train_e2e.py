@@ -180,6 +180,78 @@ def test_resume_survives_worsening_val_loss(tmp_path):
     assert int(restored.step) == 5
 
 
+def test_training_restores_sample_integrity():
+    """Learning works, as a tested invariant (VERDICT r1 item 10): a short
+    training run on a fixed valid piano-roll pattern must let the REAL DDIM
+    sampler (mid-noise paint, in-distribution by construction) reconstruct the
+    pattern — IoU ~1 and prmat2c integrity ~0 — where the untrained model
+    leaves noise artifacts.
+
+    The mid-noise start (tau ~200/1000) is deliberate: it isolates the
+    denoising competence a model acquires in minutes of CPU training; full
+    from-noise generation additionally needs high-t competence that only
+    emerges at real training lengths (measured in the round-2 log).
+    """
+    import jax.numpy as jnp
+
+    from polyffusion_tpu.diffusion import make_ddim_schedule
+    from polyffusion_tpu.diffusion.sampler import ddim_paint, ddim_q_sample
+    from polyffusion_tpu.train import create_state, make_optimizer, make_train_step
+    from polyffusion_tpu.utils.reprs import check_prmat2c_integrity
+
+    h = w = 32
+    cfg = Params({**TINY_CFG, "channel_multipliers": [1, 2], "img_h": h,
+                  "img_w": w, "n_steps": 1000, "cond_mode": "cond",
+                  "learning_rate": 1e-3})
+    # dense VALID pattern: onset rows followed by sustain runs (~30% on-pixels)
+    pattern = np.zeros((2, h, w), np.float32)
+    pattern[0, 0::4, 4:28] = 1.0
+    pattern[1, 1::4, 4:28] = 1.0
+    pattern[1, 2::4, 4:28] = 1.0
+
+    task = SDFTask(cfg)
+    optimizer = make_optimizer(cfg.learning_rate, cfg.max_grad_norm)
+    train_step = make_train_step(task, optimizer)  # single-device: fastest here
+    rng = jax.random.PRNGKey(0)
+    state = create_state(task.init_params(rng), optimizer)
+
+    batch = (
+        np.repeat(pattern[None], 16, 0),
+        np.zeros((16, 128, 20, 6), np.int64),
+        np.zeros((16, 32, 36), np.float32),
+        np.zeros((16, 128, 128), np.float32),
+    )
+
+    dd = make_ddim_schedule(task.schedule, 50, "uniform", 0.0)
+    t_start = 10  # tau ~201: mid-low noise
+    cond = jnp.zeros((4, 1, cfg.d_cond), jnp.float32)
+    x0_true = jnp.asarray(np.transpose(np.repeat(pattern[None], 4, 0), (0, 2, 3, 1)))
+    noise = jax.random.normal(jax.random.PRNGKey(11), x0_true.shape)
+    x_start = ddim_q_sample(dd, x0_true, t_start, noise)
+    paint = jax.jit(
+        lambda p: ddim_paint(task.apply_eps, p, dd, x_start, cond, t_start,
+                             jax.random.PRNGKey(3))
+    )
+
+    def sample_metrics(params):
+        x0 = np.transpose(np.asarray(paint(params)), (0, 3, 1, 2))
+        on = np.rint(x0).clip(0, 1).astype(bool)
+        pat = np.repeat(pattern[None], 4, 0).astype(bool)
+        iou = (on & pat).sum() / max((on | pat).sum(), 1)
+        return iou, check_prmat2c_integrity(x0)
+
+    iou0, integ0 = sample_metrics(state.params)
+    assert integ0 > 0.05, f"untrained integrity unexpectedly clean: {integ0}"
+
+    for _ in range(80):
+        state, metrics = train_step(state, batch, rng, ())
+    assert float(metrics["loss"]) < 0.1
+
+    iou1, integ1 = sample_metrics(state.params)
+    assert iou1 > 0.9, (iou0, iou1)
+    assert integ1 < 0.02, (integ0, integ1)
+
+
 def test_ema_training_and_inference_load(data_dir, tmp_path):
     """ema_decay config maintains an EMA branch in the train state; inference
     can sample from it via load_unet_params(use_ema=True)."""
