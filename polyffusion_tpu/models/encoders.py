@@ -243,6 +243,26 @@ class PianoTreeEncoder(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def load_chord_encoder_from_run(run_dir: str):
+    """Chord-encoder params from a ``chd_8bar`` run trained by this framework,
+    closing the reference's pretrain -> train workflow without a torch detour
+    (reference workflow: main.py --model chd_8bar, then sdf_chd8bar with the
+    resulting checkpoint as the frozen encoder)."""
+    import os
+
+    from ..config import load_params
+
+    cfg = load_params(os.path.join(run_dir, "params.yaml"))
+    assert cfg.get("model_name") == "chd_8bar", (
+        f"{run_dir} is not a chd_8bar run (model_name={cfg.get('model_name')!r})"
+    )
+    from ..inference import load_unet_params
+    from ..tasks.chd_8bar import Chd8BarTask
+
+    params = load_unet_params(run_dir, Chd8BarTask(cfg))
+    return params["chord_enc"]
+
+
 def build_frozen_encoders(cfg, pretrained_dir: Optional[str] = None):
     """Construct + load the frozen encoders required by ``cfg`` (cond_type/use_enc).
 
@@ -262,14 +282,19 @@ def build_frozen_encoders(cfg, pretrained_dir: Optional[str] = None):
     )
 
     def need(base, convert_fn):
-        """Load converted params: prefer a pre-converted ``<base>.npz`` (see
-        ``python -m polyffusion_tpu.convert``), else convert a torch ``<base>.pt``."""
+        """Load converted params.  Accepted forms under ``pretrained_dir``, in
+        order: a ``<base>/`` run directory trained by THIS framework (orbax —
+        currently the chd_8bar pretraining run), a pre-converted ``<base>.npz``
+        (see ``python -m polyffusion_tpu.convert``), a torch ``<base>.pt``."""
         if not pretrained_dir:
             raise FileNotFoundError(
                 f"this config needs the pretrained '{base}' encoder — pass "
                 "--pretrained_dir with converted checkpoints "
-                "(`python -m polyffusion_tpu.convert`)"
+                "(`python -m polyffusion_tpu.convert`) or a chd_8bar run dir"
             )
+        run_dir = os.path.join(pretrained_dir, base)
+        if base == "chd8bar" and os.path.isdir(run_dir):
+            return {"chord_enc": load_chord_encoder_from_run(run_dir)}
         npz_path = os.path.join(pretrained_dir, base + ".npz")
         if os.path.exists(npz_path):
             from .. convert.__main__ import load_params_npz
@@ -278,9 +303,9 @@ def build_frozen_encoders(cfg, pretrained_dir: Optional[str] = None):
         pt_path = os.path.join(pretrained_dir, base + ".pt")
         if not os.path.exists(pt_path):
             raise FileNotFoundError(
-                f"pretrained checkpoint not found: {npz_path} or {pt_path} "
-                "(convert from the reference's pretrained/ directory with "
-                "`python -m polyffusion_tpu.convert`)"
+                f"pretrained checkpoint not found: {run_dir}/ (a chd_8bar run), "
+                f"{npz_path} or {pt_path} (convert from the reference's "
+                "pretrained/ directory with `python -m polyffusion_tpu.convert`)"
             )
         return convert_fn(torch_file_to_numpy(pt_path))
 

@@ -123,6 +123,31 @@ def test_chd8bar_training_with_tf_scheduler(data_dir, tmp_path):
     state = trainer.fit(train_dl, val_dl, resume=False)
     assert int(state.step) == 3
 
+    # the run doubles as a frozen chord encoder for sdf training (the
+    # reference's pretrain -> train workflow, without a torch detour):
+    # build_frozen_encoders accepts <pretrained_dir>/chd8bar as a run dir
+    import os
+    import shutil
+
+    from polyffusion_tpu.models.encoders import build_frozen_encoders
+
+    pre = tmp_path / "pretrained"
+    os.makedirs(pre, exist_ok=True)
+    shutil.copytree(tmp_path / "chd", pre / "chd8bar")
+    sdf_cfg = Params({**TINY_CFG, "use_enc": True, "d_cond": 32,
+                      "chd_hidden_dim": 64, "chd_z_dim": 32})
+    kwargs = build_frozen_encoders(sdf_cfg, str(pre))
+    enc, enc_params = kwargs["chord_enc"], kwargs["chord_enc_params"]
+    import jax.numpy as jnp
+
+    mu, std = enc.apply({"params": enc_params}, jnp.zeros((2, 32, 36)))
+    assert mu.shape == (2, 32) and np.isfinite(np.asarray(mu)).all()
+    # and the loaded leaves equal the trained run's
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(enc_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params["chord_enc"])[0]),
+    )
+
 
 def test_nan_loss_raises(data_dir, tmp_path):
     """Non-finite loss must abort training (reference lightning_learner.py:29-33)."""
