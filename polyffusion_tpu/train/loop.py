@@ -208,13 +208,18 @@ class Trainer:
         t_start = time.time()
         window_t0, window_step0 = t_start, start_step
 
+        # host-side step counter: `int(state.step)` every iteration would force
+        # a blocking device->host sync per step — invisible on local PCIe, but
+        # a >100x slowdown through a remote-tunnel device (measured: 12.5 s/it
+        # vs the 65 ms device step).  The device counter stays authoritative
+        # for checkpoints/resume; this mirror only drives loop control.
+        step_i = start_step
         for epoch in range(max_epoch):
             if done:
                 break
             if self.param_scheduler:
                 self.param_scheduler.train()
             for batch in train_dl:
-                step_i = int(state.step)
                 if self.profile_steps and step_i == self.profile_steps[0]:
                     jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
                 sched_vals = self._sched_vals(step_i)
@@ -225,25 +230,26 @@ class Trainer:
                     )
                     jax.profiler.stop_trace()
                     print(f"[profile] trace written to {self.output_dir}/profile")
-                if (step_i + 1) % self.log_every == 0:
+                step_i += 1
+                if step_i % self.log_every == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     if not np.isfinite(metrics["loss"]):
                         raise RuntimeError(f"non-finite loss at step {step_i}: {metrics}")
                     now = time.time()
-                    sps = (int(state.step) - window_step0) / max(now - window_t0, 1e-9)
-                    window_t0, window_step0 = now, int(state.step)
+                    sps = (step_i - window_step0) / max(now - window_t0, 1e-9)
+                    window_t0, window_step0 = now, step_i
                     rec = {
-                        "step": step_i + 1,
+                        "step": step_i,
                         "epoch": epoch,
                         "steps_per_sec": round(sps, 3),
                         **{f"train/{k}": v for k, v in metrics.items()},
                     }
                     print(
-                        f"epoch {epoch} step {step_i + 1} "
+                        f"epoch {epoch} step {step_i} "
                         f"loss {metrics['loss']:.5f} ({sps:.2f} it/s)"
                     )
                     self.logger.log(rec)
-                if self.max_steps is not None and int(state.step) >= self.max_steps:
+                if self.max_steps is not None and step_i >= self.max_steps:
                     done = True
                     break
 
@@ -267,10 +273,9 @@ class Trainer:
         losses = []
         agg: Dict[str, float] = {}
         n = 0
+        sched_vals = self._sched_vals(int(state.step))  # one sync per validation
         for batch in val_dl:
-            metrics = self.eval_step(
-                state.params, tuple(batch), rng, self._sched_vals(int(state.step))
-            )
+            metrics = self.eval_step(state.params, tuple(batch), rng, sched_vals)
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
             losses.append(float(metrics["loss"]))
