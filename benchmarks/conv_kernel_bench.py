@@ -103,6 +103,8 @@ def report(outdir, site, iters, flops):
         glob.glob(os.path.join(outdir, "**", "*.xplane.pb"), recursive=True),
         key=os.path.getmtime,
     )
+    if not paths:
+        raise SystemExit(f"no .xplane.pb trace found under {outdir}")
     xspace = xplane_pb2.XSpace()
     with open(paths[-1], "rb") as f:
         xspace.ParseFromString(f.read())
@@ -121,6 +123,12 @@ def report(outdir, site, iters, flops):
                     whiles.append((ev.offset_ps, name, ev.duration_ps / 1e12))
     whiles.sort()
     names = ["xla_bf16", "fused_bf16", "fused_int8"]
+    if len(whiles) != len(names):
+        raise SystemExit(
+            f"expected {len(names)} %while ops (one per variant) in the trace, "
+            f"found {len(whiles)} — positional attribution would be wrong: "
+            + "; ".join(w[1].split(" = ")[0] for w in whiles)
+        )
     print(f"\n== site {site} (iters {iters}) ==")
     for (off_, wname, dur), label in zip(whiles, names):
         tf = flops / dur / 1e12

@@ -16,8 +16,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 VARIANTS = [
-    # name, env overrides (on top of current env).  bench.py defaults
-    # POLYFF_FUSED_GN_CONV=1, so variants that predate that kernel pin it off.
+    # name, env overrides (on top of current env).  POLYFF_FUSED_GN_CONV is
+    # OFF by default everywhere (measured 2x slower than XLA's conv path);
+    # variants pin it explicitly anyway so each row is self-describing.
     ("r1_baseline", {"POLYFF_BF16_PARAMS": "0", "POLYFF_FUSED_ATTN": "0",
                      "POLYFF_MATERIALIZE_CONCAT": "1", "POLYFF_LEGACY_UPSAMPLE": "1",
                      "POLYFF_FUSED_GN_CONV": "0"}),

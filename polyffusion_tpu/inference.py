@@ -137,6 +137,10 @@ def load_unet_params(
             return state.ema
         return state.params
 
+    if use_ema:
+        raise ValueError(
+            "--use_ema needs an orbax run directory (torch checkpoints carry no EMA branch)"
+        )
     from .convert.torch_import import torch_file_to_numpy, unet_params_from_torch
 
     torch_converter = torch_converter or unet_params_from_torch
@@ -511,6 +515,7 @@ def _main_ddpm(cfg, args):
         task,
         torch_converter=ddpm_unet_params_from_torch,
         prefixes=("model.ddpm.eps_model.", "ddpm.eps_model.", "eps_model."),
+        use_ema=getattr(args, "use_ema", False),
     )
     rng = jax.random.PRNGKey(args.seed)
     b = max(args.length, 1)

@@ -325,15 +325,14 @@ def gn_silu_conv3x3_concat(
 def quantize_conv_kernel(w: jnp.ndarray):
     """(3, 3, C, O) float kernel -> (int8 kernel, (O,) fp32 scales).
 
-    Symmetric per-output-channel quantization.  Called on loop-invariant
+    Symmetric per-output-channel quantization — the SAME scheme as the XLA
+    int8 route (one implementation, ops/quant.py).  Called on loop-invariant
     parameters: under ``jit`` + ``lax.scan`` XLA hoists it out of the sampling
     loop, so the quantization cost is paid once per compiled call.
     """
-    w32 = w.astype(jnp.float32)
-    amax = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-8)  # (O,)
-    scale = amax / 127.0
-    q = jnp.clip(jnp.round(w32 / scale[None, None, None, :]), -127, 127)
-    return q.astype(jnp.int8), scale
+    from .quant import quantize_weight
+
+    return quantize_weight(w)
 
 
 def gn_silu_conv3x3_q(

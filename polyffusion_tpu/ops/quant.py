@@ -17,6 +17,8 @@ benchmarked against each other (benchmarks/sweep.py).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -52,8 +54,15 @@ def int8_conv(
 
     ``y`` is the already-activated input (e.g. silu(GN(x))); quantization error
     is ~1e-3 relative for 7-bit symmetric scales.  Returns ``y.dtype`` (or
-    ``out_dtype``).
+    ``out_dtype``).  Sampling-only: differentiating raises (the round/clip
+    would otherwise yield silent zero gradients in a training run that leaked
+    POLYFF_INT8_XLA=1).
     """
+    return _int8_conv_nograd(y, w, bias, stride, padding, out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _int8_conv_nograd(y, w, bias, stride, padding, out_dtype):
     q, act_scale = quantize_act(y)
     wq, w_scale = quantize_weight(w)  # hoisted out of sampling scans by XLA
     acc = jax.lax.conv_general_dilated(
@@ -68,3 +77,17 @@ def int8_conv(
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(out_dtype or y.dtype)
+
+
+def _int8_conv_fwd(y, w, bias, stride, padding, out_dtype):
+    return _int8_conv_nograd(y, w, bias, stride, padding, out_dtype), None
+
+
+def _int8_conv_bwd(stride, padding, out_dtype, res, g):
+    raise NotImplementedError(
+        "int8_conv has no gradient (round/clip): POLYFF_INT8_XLA is a "
+        "sampling-only mode — disable it for training"
+    )
+
+
+_int8_conv_nograd.defvjp(_int8_conv_fwd, _int8_conv_bwd)

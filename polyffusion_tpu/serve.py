@@ -66,12 +66,22 @@ class GenerationWorker:
         self.samples = 0
         self.last_device_ms = None
         self.warm = False
+        self.warmed_scales = []
 
-    def warmup(self):
-        t0 = time.time()
-        self.generate(num=1, uncond_scale=1.0)
+    def warmup(self, scales=(1.0,)):
+        """Compile one executable per CFG scale that will be served.
+
+        The sampler's jitted paint function caches PER uncond_scale (the scale
+        is baked into the compiled loop), so a scale not warmed here triggers
+        a fresh full-model compile on first request — 20-60 minutes on a
+        cold-cache TPU.  Pass every scale clients will use (--warmup_scales).
+        """
+        for s in scales:
+            t0 = time.time()
+            self.generate(num=1, uncond_scale=float(s))
+            print(f"[serve] warm scale {s}: compile + first batch {time.time() - t0:.1f}s")
+        self.warmed_scales = [float(s) for s in scales]
         self.warm = True
-        print(f"[serve] warmup compile + first batch: {time.time() - t0:.1f}s")
 
     def _cond(self, num: int, chord):
         d = self.cfg.d_cond
@@ -91,6 +101,11 @@ class GenerationWorker:
 
         if seed is not None:
             self.session.rng = jax.random.PRNGKey(int(seed))
+        if self.warmed_scales and float(uncond_scale) not in self.warmed_scales:
+            print(
+                f"[serve] WARNING: uncond_scale {uncond_scale} was not warmed "
+                f"({self.warmed_scales}) — this request pays a fresh compile"
+            )
         cond = self._cond(num, chord)
         # pad to the fixed batch so the compiled executable is reused
         if num < self.batch:
@@ -147,6 +162,7 @@ def make_handler(worker: GenerationWorker):
                         "samples": worker.samples,
                         "last_device_ms": worker.last_device_ms,
                         "batch_size": worker.batch,
+                        "warmed_scales": worker.warmed_scales,
                     },
                 )
             else:
@@ -191,11 +207,16 @@ def main(argv=None):
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--bf16_params", action="store_true")
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument(
+        "--warmup_scales",
+        default="1.0",
+        help="comma-separated CFG scales to pre-compile (one executable each)",
+    )
     args = p.parse_args(argv)
 
     worker = GenerationWorker(args)
     if not args.no_warmup:
-        worker.warmup()
+        worker.warmup([float(s) for s in args.warmup_scales.split(",")])
     server = HTTPServer((args.host, args.port), make_handler(worker))
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(batch {args.batch_size}, {'DDIM' if args.ddim else 'DDPM'})")

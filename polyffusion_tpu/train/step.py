@@ -68,10 +68,11 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None):
         # shardings are inferred per-leaf at the first call (jit resolves
         # pytree-of-shardings lazily against the actual state structure).
         # The Pallas fused-attention kernel cannot be GSPMD-partitioned —
-        # einsum attention partitions cleanly and is forced here.
+        # einsum attention is forced, but only for THIS step's traces: the
+        # env override is scoped around each call (tracing happens inside)
+        # and restored, so other jit programs in the process are unaffected.
         import os
 
-        os.environ["POLYFF_FUSED_ATTN"] = "0"
         from ..parallel.tp import infer_tp_sharding
 
         def tp_jit(state_template):
@@ -89,7 +90,15 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None):
             key = jax.tree_util.tree_structure(state)
             if key not in compiled:
                 compiled[key] = tp_jit(state)
-            return compiled[key](state, batch, rng, sched_vals)
+            prev = os.environ.get("POLYFF_FUSED_ATTN")
+            os.environ["POLYFF_FUSED_ATTN"] = "0"
+            try:
+                return compiled[key](state, batch, rng, sched_vals)
+            finally:
+                if prev is None:
+                    os.environ.pop("POLYFF_FUSED_ATTN", None)
+                else:
+                    os.environ["POLYFF_FUSED_ATTN"] = prev
 
         return dispatch
 

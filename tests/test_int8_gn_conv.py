@@ -152,6 +152,17 @@ def test_unet_int8_xla_eps_error_bounded(monkeypatch):
     assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params2)
 
 
+def test_xla_int8_conv_grad_raises():
+    """Training with POLYFF_INT8_XLA leaked must fail loudly, not learn nothing."""
+    from polyffusion_tpu.ops.quant import int8_conv
+
+    rng = np.random.default_rng(9)
+    y = _rand((1, 8, 8, 32), rng)
+    wk = _rand((3, 3, 32, 32), rng) * 0.06
+    with pytest.raises(NotImplementedError, match="sampling-only"):
+        jax.grad(lambda w: jnp.sum(int8_conv(y, w)))(wk)
+
+
 def test_unet_int8_eps_error_bounded(monkeypatch):
     """Whole tiny UNet under POLYFF_INT8_CONV: eps stays within a small relative
     error of the fp32 path (ResBlock convs quantized, attention/head bf16-free)."""

@@ -37,6 +37,7 @@ def worker():
     w.samples = 0
     w.last_device_ms = None
     w.warm = True
+    w.warmed_scales = [1.0]
     return w
 
 
