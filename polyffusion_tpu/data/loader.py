@@ -100,14 +100,35 @@ class DeviceFeeder:
 
     Double-buffered: while the TPU runs step N, the host is already converting and
     transferring batch N+1.
+
+    ``used_fields``: optional set of Batch field names the consuming task
+    actually reads (``task.used_batch_fields``).  Unused fields are replaced
+    with (B, 1) zero placeholders BEFORE the device transfer — for a
+    chord-conditioned sdf run this cuts the per-step host->device traffic ~4x
+    (the int64 pnotree alone is over half the batch bytes), which is the
+    difference between feeding and starving a remote-attached device.
     """
 
-    def __init__(self, loader, mesh=None, prefetch: int = 2):
+    def __init__(self, loader, mesh=None, prefetch: int = 2, used_fields=None):
         self.loader = loader
         self.mesh = mesh
         self.prefetch = prefetch
+        self.used_fields = set(used_fields) if used_fields is not None else None
+
+    def _strip(self, batch: Batch) -> Batch:
+        if self.used_fields is None:
+            return batch
+        b = batch.prmat2c.shape[0]
+        placeholder = np.zeros((b, 1), np.float32)
+        return Batch(
+            *[
+                v if name in self.used_fields else placeholder
+                for name, v in zip(Batch._fields, batch)
+            ]
+        )
 
     def _place(self, batch: Batch):
+        batch = self._strip(batch)
         if self.mesh is None:
             return batch
         from ..parallel.mesh import shard_batch
@@ -149,15 +170,20 @@ def make_loaders(
     mesh=None,
     seed: int = 0,
     prefetch: int = 2,
+    used_fields=None,
 ):
+    """``used_fields``: pass the task's ``used_batch_fields`` so untouched
+    Batch fields never cross the host->device link (see DeviceFeeder)."""
     train = DeviceFeeder(
         BatchLoader(train_ds, batch_size, augment=True, shuffle=True, seed=seed),
         mesh,
         prefetch,
+        used_fields,
     )
     val = DeviceFeeder(
         BatchLoader(val_ds, batch_size, augment=False, shuffle=False, seed=seed),
         mesh,
         prefetch,
+        used_fields,
     )
     return train, val

@@ -90,9 +90,6 @@ def main(argv=None):
     while cfg["batch_size"] % n_dev:
         n_dev -= 1
     mesh = make_mesh(jax.devices()[:n_dev])
-    train_dl, val_dl = make_loaders(
-        train_ds, val_ds, cfg["batch_size"], mesh, seed=args.seed
-    )
 
     param_scheduler = None
     if "tfr_chd" in cfg:
@@ -100,6 +97,10 @@ def main(argv=None):
         param_scheduler = ParameterScheduler(tfr_chd=TeacherForcingScheduler(hi, lo))
 
     task = build_task(cfg, args.pretrained_dir)
+    train_dl, val_dl = make_loaders(
+        train_ds, val_ds, cfg["batch_size"], mesh, seed=args.seed,
+        used_fields=getattr(task, "used_batch_fields", None),
+    )
     profile_steps = (
         tuple(int(x) for x in args.profile_steps.split(","))
         if args.profile_steps

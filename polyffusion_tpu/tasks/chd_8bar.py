@@ -19,6 +19,9 @@ from ..models.encoders import ChordDecoder, ChordEncoder, chord_recon_loss
 class Chd8BarTask:
     name = "chd_8bar"
 
+    #: batch fields the loss reads (data/loader.py DeviceFeeder placeholders)
+    used_batch_fields = frozenset({"chord"})
+
     def __init__(self, cfg):
         self.cfg = cfg
         self.enc = ChordEncoder(

@@ -17,6 +17,9 @@ from ..models.unet import nchw_to_nhwc
 class DDPMTask:
     name = "ddpm"
 
+    #: batch fields the loss reads (data/loader.py DeviceFeeder placeholders)
+    used_batch_fields = frozenset({"prmat2c"})
+
     def __init__(self, cfg):
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.get("bf16", False) else jnp.float32

@@ -145,6 +145,19 @@ class SDFTask:
 
     # -- Task interface ---------------------------------------------------------
 
+    @property
+    def used_batch_fields(self):
+        """Batch fields this task's loss reads — the feeder sends placeholders
+        for the rest (data/loader.py DeviceFeeder)."""
+        fields = {"prmat2c"}
+        if "chord" in self.cond_type:
+            fields.add("chord")
+        if "txt" in self.cond_type:
+            fields.add("prmat")
+        if self.cond_type == "pnotree":
+            fields.add("pnotree")
+        return fields
+
     def _dummy_cond_shape(self, batch_size: int = 1):
         return (batch_size, 1, self.cfg.d_cond) if self.cond_type != "txt" or self.use_enc else (
             batch_size,
