@@ -55,6 +55,24 @@ def collate(samples, shift: int = 0) -> Batch:
     )
 
 
+def decompress_batch(batch):
+    """Inverse of ``DeviceFeeder._compress`` for use INSIDE jitted losses:
+    uint8 wire dtypes -> float32 compute, int16 indices -> int32.  The converts
+    fuse into the first consumer; fields already in compute dtypes pass through
+    (tests and benches build float batches directly)."""
+    import jax.numpy as jnp
+
+    def un(v):
+        if v.dtype == jnp.uint8:
+            return v.astype(jnp.float32)
+        if v.dtype == jnp.int16:
+            return v.astype(jnp.int32)
+        return v
+
+    vals = [un(v) for v in batch]
+    return Batch(*vals) if isinstance(batch, Batch) else tuple(vals)
+
+
 class BatchLoader:
     """Shuffling epoch iterator over a SegmentDataset.
 
@@ -127,8 +145,33 @@ class DeviceFeeder:
             ]
         )
 
+    @staticmethod
+    def _compress(batch: Batch) -> Batch:
+        """Lossless dtype compression before the host->device transfer.
+
+        Every field is small-integer-valued: prmat2c/chord are 0/1, prmat
+        holds grid-step durations (<= 128), pnotree holds pitch/duration
+        indices (<= 130).  uint8/int16 on the wire is a 4-8x transfer cut;
+        tasks cast back to compute dtypes inside the jitted loss (free — XLA
+        fuses the convert into the first consumer)."""
+
+        def pack(name, v):
+            if v.dtype == np.float32 and name in ("prmat2c", "chord", "prmat"):
+                # guard: only compress values uint8 can represent — NaN/inf or
+                # out-of-range data (e.g. a poisoned batch) must reach the
+                # device unmangled so the NaN-loss guard can fire
+                mn, mx = float(v.min(initial=0)), float(v.max(initial=0))
+                if not (np.isfinite(mn) and np.isfinite(mx) and 0 <= mn and mx <= 255):
+                    return v
+                return v.astype(np.uint8)
+            if v.dtype == np.int64 and name == "pnotree":
+                return v.astype(np.int16)
+            return v
+
+        return Batch(*[pack(n, v) for n, v in zip(Batch._fields, batch)])
+
     def _place(self, batch: Batch):
-        batch = self._strip(batch)
+        batch = self._compress(self._strip(batch))
         if self.mesh is None:
             return batch
         from ..parallel.mesh import shard_batch

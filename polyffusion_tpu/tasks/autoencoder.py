@@ -134,7 +134,9 @@ class AutoencoderTask:
         self, params, batch, rng: jax.Array, sched_params: Dict
     ) -> Tuple[jnp.ndarray, Dict]:
         step = sched_params.get("global_step", jnp.inf)
-        x = self._pad_channels(batch[0])
+        from ..data.loader import decompress_batch
+
+        x = self._pad_channels(decompress_batch(batch)[0])
         recon, moments = self.ae.apply({"params": params["ae"]}, x, rng)
         recon = recon.astype(jnp.float32)
 

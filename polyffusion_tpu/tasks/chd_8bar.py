@@ -49,7 +49,9 @@ class Chd8BarTask:
     def loss_fn(
         self, params, batch, rng: jax.Array, sched_params: Dict
     ) -> Tuple[jnp.ndarray, Dict]:
-        chord = batch[2]  # (B, 32, 36) one-hot
+        from ..data.loader import decompress_batch
+
+        chord = decompress_batch(batch)[2]  # (B, 32, 36) one-hot
         tfr = sched_params.get("tfr_chd", 0.5)
         k_sample, k_tf = jax.random.split(rng)
         mu, std = self.enc.apply({"params": params["chord_enc"]}, chord)

@@ -49,6 +49,9 @@ class DDPMTask:
         self, params, batch, rng: jax.Array, sched_params: Dict
     ) -> Tuple[jnp.ndarray, Dict]:
         del sched_params
+        from ..data.loader import decompress_batch
+
+        batch = decompress_batch(batch)
         x0 = nchw_to_nhwc(batch[0])
         t_key, eps_key = jax.random.split(rng)
         t = jax.random.randint(t_key, (x0.shape[0],), 0, self.schedule.n_steps)

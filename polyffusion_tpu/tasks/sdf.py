@@ -185,6 +185,9 @@ class SDFTask:
         self, params, batch, rng: jax.Array, sched_params: Dict
     ) -> Tuple[jnp.ndarray, Dict]:
         del sched_params
+        from ..data.loader import decompress_batch
+
+        batch = decompress_batch(batch)  # uint8 wire dtypes -> compute dtypes
         cond_rng, loss_rng = jax.random.split(rng)
         cond = self.encode_cond(batch, cond_rng)
         x0 = nchw_to_nhwc(batch[0])

@@ -85,6 +85,18 @@ def test_feeder_strips_unused_fields(data_dir):
     assert batch.chord.shape == (8, 32, 36)
     assert batch.pnotree.shape == (8, 1)  # placeholder
     assert batch.prmat.shape == (8, 1)  # placeholder
+    # wire compression: binary rolls ship as uint8 (4x less transfer)
+    import jax.numpy as jnp
+
+    assert batch.prmat2c.dtype == jnp.uint8
+    assert batch.chord.dtype == jnp.uint8
+    from polyffusion_tpu.data.loader import decompress_batch
+
+    dec = decompress_batch(batch)
+    assert dec.prmat2c.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(dec.prmat2c), np.asarray(batch.prmat2c).astype(np.float32)
+    )
 
     # training consumes stripped batches end-to-end
     trainer = Trainer(task, TINY_CFG, "/tmp/strip_run", mesh=mesh, max_steps=1,
