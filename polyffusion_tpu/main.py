@@ -45,6 +45,8 @@ def main(argv=None):
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None, help="override preset batch size")
     p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--save_every", type=int, default=1,
+                   help="checkpoint every N epochs (final epoch always saves)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true", help="resume from output_dir/chkpts")
     p.add_argument("--fresh", action="store_true", help="force a new timestamped subdir")
@@ -114,6 +116,7 @@ def main(argv=None):
         param_scheduler=param_scheduler,
         max_steps=args.max_steps,
         log_every=args.log_every,
+        save_every=args.save_every,
         profile_steps=profile_steps,
     )
     print(

@@ -64,13 +64,19 @@ class Trainer:
         log_every: int = 100,
         keep_checkpoints: int = 3,
         profile_steps: Optional[tuple] = None,
+        save_every: int = 1,
     ):
+        """``save_every``: checkpoint every N epochs (default 1 — the
+        reference's per-epoch cadence).  Saving fetches the full train state
+        from the device; raise this when epochs are short relative to the
+        state size (the final epoch always saves)."""
         self.task = task
         self.cfg = cfg
         self.mesh = mesh
         self.param_scheduler = param_scheduler
         self.max_steps = max_steps
         self.log_every = log_every
+        self.save_every = max(1, int(save_every))
         # (start, stop) step window traced with jax.profiler into output_dir/profile
         self.profile_steps = profile_steps
 
@@ -253,9 +259,11 @@ class Trainer:
                     done = True
                     break
 
-            val_loss = self.validate(state, val_dl, epoch)
-            self._epoch = epoch
-            self.save(state, val_loss)
+            last_epoch = done or epoch == max_epoch - 1
+            if last_epoch or (epoch + 1) % self.save_every == 0:
+                val_loss = self.validate(state, val_dl, epoch)
+                self._epoch = epoch
+                self.save(state, val_loss)
 
         self.logger.close()
         return state
