@@ -195,6 +195,12 @@ class InferenceSession:
             from .parallel.mesh import replicated
 
             params = jax.device_put(params, replicated(mesh))
+        else:
+            # orbax restores onto the CPU backend (the template is built there
+            # to keep init off the slow remote-dispatch path); committed CPU
+            # arrays would make every jitted sampler compile FOR CPU — place
+            # explicitly on the default accelerator
+            params = jax.device_put(params, jax.devices()[0])
         self.params = params
         self.cfg = task.cfg
         self.use_ddim = use_ddim
