@@ -102,3 +102,17 @@ def test_tp_step_matches_dp_step():
 def test_tp_mesh_requires_enough_devices():
     with pytest.raises(AssertionError):
         make_tp_mesh(4, 4)  # only 8 virtual devices in the test env
+
+
+def test_tp_sharding_covers_ema_branch():
+    """Path-suffix inference shards the EMA branch like the params it mirrors."""
+    task = SDFTask(CFG)
+    optimizer = make_optimizer(CFG.learning_rate, CFG.max_grad_norm)
+    params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+    state = create_state(params, optimizer, ema_decay=0.999)
+    mesh = make_tp_mesh(2, 4)
+    sh = infer_tp_sharding(state, mesh)
+    assert "tp" in str(sh.ema["input_blocks_1_0"]["in_conv"]["kernel"].spec)
+    assert sh.ema["input_blocks_1_0"]["in_norm"]["scale"].spec == (
+        jax.sharding.PartitionSpec()
+    )
