@@ -57,6 +57,13 @@ def test_generate_with_chord_conditioning(worker):
     assert out["num"] == 2
 
 
+def test_warmup_registers_scales(worker):
+    """warmup() compiles one executable per CFG scale and records the set."""
+    worker.warmup([0.0])
+    assert worker.warm
+    assert 0.0 in worker.warmed_scales
+
+
 def test_generate_rejects_oversize(worker):
     with pytest.raises(AssertionError):
         worker.generate(num=3, uncond_scale=1.0)
