@@ -165,7 +165,10 @@ class DeviceFeeder:
                 mn, mx = float(v.min(initial=0)), float(v.max(initial=0))
                 if not (np.isfinite(mn) and np.isfinite(mx) and 0 <= mn and mx <= 255):
                     return v
-                return v.astype(np.uint8)
+                u = v.astype(np.uint8)
+                if not np.array_equal(u, v):  # fractional values: send uncompressed
+                    return v
+                return u
             if v.dtype == np.int64 and name == "pnotree":
                 return v.astype(np.int16)
             return v

@@ -36,18 +36,13 @@ from .utils.midi_io import prmat2c_to_midi_file
 def _forward_fill(vals: np.ndarray, empty_marker: int) -> np.ndarray:
     """Replace ``empty_marker`` entries with the previous valid value; leading
     entries take the first valid value (reference :145-151, :167-173)."""
-    vals = vals.copy()
     valid = vals != empty_marker
     if not valid.any():
-        return vals
-    first = vals[np.argmax(valid)]
-    prev = first
-    for i in range(len(vals)):
-        if valid[i]:
-            prev = vals[i]
-        else:
-            vals[i] = prev
-    return vals
+        return vals.copy()
+    # index of the most recent valid entry at each position (cummax of indices)
+    idx = np.maximum.accumulate(np.where(valid, np.arange(len(vals)), -1))
+    idx = np.where(idx < 0, np.argmax(valid), idx)  # leading run -> first valid
+    return vals[idx]
 
 
 def get_mask(orig: np.ndarray, inpaint_type: str, bar_list=None) -> np.ndarray:

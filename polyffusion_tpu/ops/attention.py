@@ -15,11 +15,41 @@ path against it on TPU.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Thread-local (per-context) override of the fused-attention dispatch.  Used by
+# callers that must trace a program without the Pallas kernel (e.g. the tp train
+# step: GSPMD cannot partition it) without touching process-global state — an
+# os.environ toggle would leak into any OTHER jit program tracing concurrently
+# in another thread (eval/serve) and silently change its kernel choice.
+_FUSED_ATTN_OVERRIDE: contextvars.ContextVar[Optional[bool]] = contextvars.ContextVar(
+    "polyff_fused_attn_override", default=None
+)
+
+
+@contextlib.contextmanager
+def fused_attention_override(enabled: Optional[bool]):
+    """Scope a fused-attention on/off override to the current thread/context."""
+    token = _FUSED_ATTN_OVERRIDE.set(enabled)
+    try:
+        yield
+    finally:
+        _FUSED_ATTN_OVERRIDE.reset(token)
+
+
+def _fused_attn_enabled() -> bool:
+    import os
+
+    override = _FUSED_ATTN_OVERRIDE.get()
+    if override is not None:
+        return override
+    return os.environ.get("POLYFF_FUSED_ATTN", "1") == "1"
 
 
 @functools.cache
@@ -81,12 +111,11 @@ def multihead_attention(
     # Fused whole-sequence Pallas kernel for the model's short self-attentions:
     # unlike the general flash kernel below (online-softmax tiling, measured
     # slower in round 1) this computes the entire softmax in VMEM and moves
-    # only q/k/v/out through HBM.  Opt-out: POLYFF_FUSED_ATTN=0.
-    import os
-
+    # only q/k/v/out through HBM.  Opt-out: POLYFF_FUSED_ATTN=0 (or a scoped
+    # ``fused_attention_override``).
     if (
         use_flash is None
-        and os.environ.get("POLYFF_FUSED_ATTN", "1") == "1"
+        and _fused_attn_enabled()
         and jax.default_backend() in ("tpu", "axon")
         and tq == tk
         and tq in (256, 512, 1024)

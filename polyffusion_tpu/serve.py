@@ -67,6 +67,8 @@ class GenerationWorker:
         self.last_device_ms = None
         self.warm = False
         self.warmed_scales = []
+        # one chip: serialize generation (warmup thread vs request handlers)
+        self._lock = __import__("threading").Lock()
 
     def warmup(self, scales=(1.0,)):
         """Compile one executable per CFG scale that will be served.
@@ -75,12 +77,17 @@ class GenerationWorker:
         is baked into the compiled loop), so a scale not warmed here triggers
         a fresh full-model compile on first request — 20-60 minutes on a
         cold-cache TPU.  Pass every scale clients will use (--warmup_scales).
+
+        Repeat calls accumulate: new scales are unioned into ``warmed_scales``
+        (never dropping earlier registrations), and warmup generations are
+        excluded from the /stats request/sample counters.
         """
         for s in scales:
             t0 = time.time()
-            self.generate(num=1, uncond_scale=float(s))
+            self.generate(num=1, uncond_scale=float(s), _warmup=True)
             print(f"[serve] warm scale {s}: compile + first batch {time.time() - t0:.1f}s")
-        self.warmed_scales = [float(s) for s in scales]
+            if float(s) not in self.warmed_scales:
+                self.warmed_scales.append(float(s))
         self.warm = True
 
     def _cond(self, num: int, chord):
@@ -95,13 +102,12 @@ class GenerationWorker:
             cond = -np.ones((num, 1, d), np.float32)
         return cond
 
-    def generate(self, num: int, uncond_scale: float, seed=None, chord=None):
+    def generate(self, num: int, uncond_scale: float, seed=None, chord=None,
+                 _warmup: bool = False):
         assert 1 <= num <= self.batch, f"num must be in [1, {self.batch}]"
         import jax
 
-        if seed is not None:
-            self.session.rng = jax.random.PRNGKey(int(seed))
-        if self.warmed_scales and float(uncond_scale) not in self.warmed_scales:
+        if not _warmup and float(uncond_scale) not in self.warmed_scales:
             print(
                 f"[serve] WARNING: uncond_scale {uncond_scale} was not warmed "
                 f"({self.warmed_scales}) — this request pays a fresh compile"
@@ -111,11 +117,15 @@ class GenerationWorker:
         if num < self.batch:
             pad = np.repeat(cond[-1:], self.batch - num, axis=0)
             cond = np.concatenate([cond, pad], axis=0)
-        t0 = time.time()
-        gen = self.session.predict(cond, uncond_scale=uncond_scale)[:num]
-        device_ms = (time.time() - t0) * 1000.0
-        self.requests += 1
-        self.samples += num
+        with self._lock:
+            if seed is not None:
+                self.session.rng = jax.random.PRNGKey(int(seed))
+            t0 = time.time()
+            gen = self.session.predict(cond, uncond_scale=uncond_scale)[:num]
+            device_ms = (time.time() - t0) * 1000.0
+        if not _warmup:
+            self.requests += 1
+            self.samples += num
         self.last_device_ms = device_ms
         err = check_prmat2c_integrity(gen)
         with tempfile.NamedTemporaryFile(suffix=".mid", delete=False) as f:
@@ -215,11 +225,20 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     worker = GenerationWorker(args)
-    if not args.no_warmup:
-        worker.warmup([float(s) for s in args.warmup_scales.split(",")])
+    # Bind and serve BEFORE warmup: cold-cache TPU compiles take 20-60 min and
+    # orchestration needs /healthz (warm: false) to tell a warming worker from
+    # a dead one.  Warmup runs in a thread; the worker lock serializes it
+    # against any early /generate requests.
     server = HTTPServer((args.host, args.port), make_handler(worker))
     print(f"[serve] listening on http://{args.host}:{args.port} "
-          f"(batch {args.batch_size}, {'DDIM' if args.ddim else 'DDPM'})")
+          f"(batch {args.batch_size}, {'DDIM' if args.ddim else 'DDPM'}, warming)")
+    if not args.no_warmup:
+        import threading
+
+        scales = [float(s) for s in args.warmup_scales.split(",")]
+        threading.Thread(target=worker.warmup, args=(scales,), daemon=True).start()
+    else:
+        worker.warm = True
     server.serve_forever()
 
 

@@ -69,10 +69,10 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None):
         # pytree-of-shardings lazily against the actual state structure).
         # The Pallas fused-attention kernel cannot be GSPMD-partitioned —
         # einsum attention is forced, but only for THIS step's traces: the
-        # env override is scoped around each call (tracing happens inside)
-        # and restored, so other jit programs in the process are unaffected.
-        import os
-
+        # override is a thread-local ContextVar scoped around each call
+        # (tracing happens inside), so jit programs tracing concurrently in
+        # other threads (eval/serve) are unaffected.
+        from ..ops.attention import fused_attention_override
         from ..parallel.tp import infer_tp_sharding
 
         def tp_jit(state_template):
@@ -90,15 +90,8 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None):
             key = jax.tree_util.tree_structure(state)
             if key not in compiled:
                 compiled[key] = tp_jit(state)
-            prev = os.environ.get("POLYFF_FUSED_ATTN")
-            os.environ["POLYFF_FUSED_ATTN"] = "0"
-            try:
+            with fused_attention_override(False):
                 return compiled[key](state, batch, rng, sched_vals)
-            finally:
-                if prev is None:
-                    os.environ.pop("POLYFF_FUSED_ATTN", None)
-                else:
-                    os.environ["POLYFF_FUSED_ATTN"] = prev
 
         return dispatch
 

@@ -38,6 +38,7 @@ def worker():
     w.last_device_ms = None
     w.warm = True
     w.warmed_scales = [1.0]
+    w._lock = threading.Lock()
     return w
 
 
@@ -58,10 +59,18 @@ def test_generate_with_chord_conditioning(worker):
 
 
 def test_warmup_registers_scales(worker):
-    """warmup() compiles one executable per CFG scale and records the set."""
+    """warmup() compiles one executable per CFG scale and records the set.
+
+    Repeat warmups UNION into warmed_scales (a second call must not drop
+    earlier registrations) and warmup generations stay out of the /stats
+    request/sample counters (ADVICE r2)."""
+    before = (worker.requests, worker.samples)
     worker.warmup([0.0])
     assert worker.warm
-    assert 0.0 in worker.warmed_scales
+    assert 0.0 in worker.warmed_scales and 1.0 in worker.warmed_scales
+    worker.warmup([0.0, 2.0])  # re-warm: no duplicates, nothing dropped
+    assert sorted(worker.warmed_scales) == [0.0, 1.0, 2.0]
+    assert (worker.requests, worker.samples) == before
 
 
 def test_generate_rejects_oversize(worker):

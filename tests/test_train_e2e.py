@@ -105,6 +105,22 @@ def test_feeder_strips_unused_fields(data_dir):
     assert int(state.step) == 1
 
 
+def test_compress_skips_fractional_values():
+    """Wire compression is LOSSLESS by contract: fractional float payloads
+    (e.g. a non-binary prmat2c from a custom dataset) must ship as raw float32
+    rather than be floor-truncated to uint8 (ADVICE r2)."""
+    from polyffusion_tpu.data.loader import Batch, DeviceFeeder
+
+    frac = np.full((2, 2, 4, 4), 0.5, np.float32)
+    ints = np.ones((2, 32, 36), np.float32)
+    batch = Batch(prmat2c=frac, pnotree=np.zeros((2, 1), np.int64),
+                  chord=ints, prmat=np.zeros((2, 1), np.float32))
+    packed = DeviceFeeder._compress(batch)
+    assert packed.prmat2c.dtype == np.float32  # fractional: left alone
+    np.testing.assert_array_equal(packed.prmat2c, frac)
+    assert packed.chord.dtype == np.uint8  # integral: compressed
+
+
 def test_whole_song_data(data_dir):
     ds = SegmentDataset.from_dir(data_dir)
     song = ds.songs[0]
