@@ -127,6 +127,79 @@ def test_ddim_sample_trajectory_parity(models):
     np.testing.assert_allclose(_nchw(got), want, atol=2e-3, rtol=1e-3)
 
 
+def test_ddim_quad_trajectory_parity(models):
+    """End-to-end trajectory on the QUAD tau grid (reference sampler_ddim.py:68-73,
+    including its int-truncation + 1 off-by-one convention)."""
+    ldm, params, apply_fn, sch = models
+    rng = np.random.default_rng(7)
+    x_t = rng.standard_normal((1, 2, 16, 16), dtype=np.float32)
+    cond = rng.standard_normal((1, 1, 12), dtype=np.float32)
+
+    tsampler = TorchDDIM(ldm, n_steps=10, ddim_discretize="quad", ddim_eta=0.0)
+    with torch.no_grad():
+        want = tsampler.sample(
+            [1, 2, 16, 16],
+            torch.from_numpy(cond),
+            x_last=torch.from_numpy(x_t),
+            uncond_scale=1.0,
+        ).numpy()
+
+    dd = make_ddim_schedule(sch, 10, "quad", 0.0)
+    np.testing.assert_array_equal(dd.time_steps, tsampler.time_steps)
+    got = S.ddim_sample(
+        apply_fn,
+        params,
+        dd,
+        _nhwc(x_t),
+        jnp.asarray(cond),
+        jax.random.PRNGKey(0),
+        uncond_scale=1.0,
+    )
+    np.testing.assert_allclose(_nchw(got), want, atol=2e-3, rtol=1e-3)
+
+
+def test_ddim_eta_trajectory_parity(models):
+    """End-to-end stochastic-DDIM trajectory (eta=1) with injected identical
+    per-step noise on both sides (reference sampler_ddim.py:88-99, 246-262:
+    sigma > 0 at every index, so one randn is consumed per step)."""
+    ldm, params, apply_fn, sch = models
+    rng = np.random.default_rng(8)
+    x_t = rng.standard_normal((1, 2, 16, 16), dtype=np.float32)
+    cond = rng.standard_normal((1, 1, 12), dtype=np.float32)
+    n = 10
+    plan = rng.standard_normal((n, 1, 2, 16, 16)).astype(np.float32)
+
+    tsampler = TorchDDIM(ldm, n_steps=n, ddim_discretize="uniform", ddim_eta=1.0)
+    assert (tsampler.ddim_sigma.numpy() > 0).all()
+    queue = [torch.from_numpy(p.copy()) for p in plan]
+    orig_randn = torch.randn
+    torch.randn = lambda *a, **k: queue.pop(0)
+    try:
+        with torch.no_grad():
+            want = tsampler.sample(
+                [1, 2, 16, 16],
+                torch.from_numpy(cond),
+                x_last=torch.from_numpy(x_t),
+                uncond_scale=1.0,
+            ).numpy()
+    finally:
+        torch.randn = orig_randn
+    assert not queue, "torch side did not consume the whole noise plan"
+
+    dd = make_ddim_schedule(sch, n, "uniform", 1.0)
+    got = S.ddim_sample(
+        apply_fn,
+        params,
+        dd,
+        _nhwc(x_t),
+        jnp.asarray(cond),
+        jax.random.PRNGKey(0),
+        uncond_scale=1.0,
+        noise_override=jnp.asarray(np.transpose(plan, (0, 1, 3, 4, 2))),
+    )
+    np.testing.assert_allclose(_nchw(got), want, atol=2e-3, rtol=1e-3)
+
+
 def test_ddpm_paint_repaint_parity(models):
     """RePaint with repaint_n=2 and injected identical noise on both sides."""
     ldm, params, apply_fn, sch = models
