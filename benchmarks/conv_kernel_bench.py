@@ -1,49 +1,56 @@
 """Per-site conv-kernel shootout on the real chip, profiled on-device.
 
 Compares, for representative UNet conv sites, the device time of:
-  xla_bf16   GN-affine+SiLU+conv through XLA (the shipped default path)
-  fused_bf16 the Pallas fused GN+SiLU+conv kernel (POLYFF_FUSED_GN_CONV)
-  fused_int8 its quantize-in-VMEM int8 variant (POLYFF_INT8_CONV)
+  xla_bf16   GN-affine+SiLU+conv through XLA, normal NHWC layout (the default)
+  s2d_bf16   the SAME arithmetic in the space-to-depth folded layout
+             (ops/s2d.py): 2x the MACs (structured-zero kernel) but full
+             128-lane occupancy and half the activation bytes
+  dot_equiv  a pure dot of the conv's im2col shape (M, 9*Ci) @ (9*Ci, Co) —
+             the demonstrated-achievable MXU rate for the shape class (no
+             im2col materialization cost; this is the CEILING, not a kernel)
+  dot_s2d    the s2d conv's dot shape (M/2, 18*Ci) @ (18*Ci, 2*Co)
+  fused_bf16 the Pallas fused GN+SiLU+conv kernel (opt-in, --fused)
+  fused_int8 its quantize-in-VMEM int8 variant (opt-in, --fused)
 
 Each variant runs inside a 100-iteration ``lax.scan`` so the workload is >1 s
 of device time (single-call timings are meaningless through the TPU relay);
 results come from the xplane trace (on-device op durations, immune to relay
 congestion).  Small programs: compiles are minutes, not tens of minutes.
 
-    python benchmarks/conv_kernel_bench.py [--site l0dec] [--iters 100]
+    python benchmarks/conv_kernel_bench.py [--site l0enc] [--iters 100]
+           [--variants xla_bf16,s2d_bf16,dot_equiv] [--fused]
+
+The per-site ceiling table in TODO.md is produced by running every site with
+the default variants.
 """
 
 import argparse
 import glob
+import json
 import os
 import sys
-from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SITES = {
     # name: (batch, H, W, C_in, C_out)  — batch 128 = CFG-doubled bench batch
-    "l0dec": (128, 128, 128, 128, 64),   # decoder L0 in_conv (virtual concat)
     "l0enc": (128, 128, 128, 64, 64),    # encoder L0 conv
+    "l0dec": (128, 128, 128, 128, 64),   # decoder L0 in_conv (virtual concat)
     "l1": (128, 64, 64, 128, 128),       # L1 conv
     "l2": (128, 32, 32, 256, 256),       # L2 conv
+    "l3": (128, 16, 16, 256, 256),       # L3 conv
+    "in": (128, 128, 128, 2, 64),        # input head conv
 }
 
+DEFAULT_VARIANTS = "xla_bf16,s2d_bf16,dot_equiv,dot_s2d"
 
-def run(site, iters, outdir):
+
+def build_variants(site, names):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", os.environ.get(
-        "JAX_CACHE_DIR", "/tmp/jax_tpu_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from polyffusion_tpu.ops.fused_gn_conv import (
-        gn_silu_conv3x3,
-        gn_silu_conv3x3_q,
-        quantize_conv_kernel,
-    )
+    from polyffusion_tpu.ops.s2d import fold_channel_vec, s2d_kernel, to_s2d
 
     b, h, w, cin, cout = SITES[site]
     rng = np.random.default_rng(0)
@@ -54,49 +61,136 @@ def run(site, iters, outdir):
         rng.standard_normal((3, 3, cin, cout)) * (9 * cin) ** -0.5, jnp.bfloat16
     )
     bias = jnp.asarray(rng.standard_normal((cout,)), jnp.float32) * 0.1
-    wq, wscale = quantize_conv_kernel(wk)
+    conv_flops_per_iter = 2 * b * h * w * 9 * cin * cout
 
-    def xla_bf16(x):
-        y = x.astype(jnp.float32) * a[:, None, None, :] + off[:, None, None, :]
-        y = (y * jax.nn.sigmoid(y)).astype(x.dtype)
-        out = jax.lax.conv_general_dilated(
-            y, wk, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    out = {}
+
+    def conv_like_scan(step_fn, x0, cin_eff):
+        """step: y=f(carry); feed back by channel-tiling to cin_eff."""
+
+        def body(carry, _):
+            y = step_fn(carry)
+            co = y.shape[-1]
+            if co < cin_eff:
+                y = jnp.concatenate([y] * (cin_eff // co), axis=-1)
+            elif co > cin_eff:
+                y = y[..., :cin_eff]
+            return (y * 1e-3 + carry * 0.5).astype(carry.dtype), ()
+
+        return x0, body
+
+    if "xla_bf16" in names:
+        def xla_bf16(t):
+            y = t.astype(jnp.float32) * a[:, None, None, :] + off[:, None, None, :]
+            y = (y * jax.nn.sigmoid(y)).astype(t.dtype)
+            o = jax.lax.conv_general_dilated(
+                y, wk, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return o + bias.astype(o.dtype)
+
+        out["xla_bf16"] = (*conv_like_scan(xla_bf16, x, cin), conv_flops_per_iter)
+
+    if "s2d_bf16" in names:
+        x2 = to_s2d(x)
+        a2, off2 = fold_channel_vec(a), fold_channel_vec(off)
+        wk2 = s2d_kernel(wk)
+        bias2 = fold_channel_vec(bias)
+
+        def s2d_bf16(t):
+            y = t.astype(jnp.float32) * a2[:, None, None, :] + off2[:, None, None, :]
+            y = (y * jax.nn.sigmoid(y)).astype(t.dtype)
+            o = jax.lax.conv_general_dilated(
+                y, wk2, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return o + bias2.astype(o.dtype)
+
+        out["s2d_bf16"] = (*conv_like_scan(s2d_bf16, x2, 2 * cin), conv_flops_per_iter)
+
+    if "dot_equiv" in names:
+        # same M*K*N as the conv, M scaled down 8x to fit HBM comfortably;
+        # eff-TFLOP/s is rate-normalized so the ceiling is comparable
+        m = b * h * w // 8
+        k, n = 9 * cin, cout
+        lhs = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        rhs = jnp.asarray(rng.standard_normal((k, n)) * k**-0.5, jnp.bfloat16)
+
+        def dot_equiv(t):
+            return jax.lax.dot_general(
+                t, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.bfloat16,
+            )
+
+        out["dot_equiv"] = (*conv_like_scan(dot_equiv, lhs, k), 2 * m * k * n)
+
+    if "dot_s2d" in names:
+        m = b * h * (w // 2) // 8
+        k, n = 9 * 2 * cin, 2 * cout
+        lhs = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        rhs = jnp.asarray(rng.standard_normal((k, n)) * k**-0.5, jnp.bfloat16)
+
+        def dot_s2d(t):
+            return jax.lax.dot_general(
+                t, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.bfloat16,
+            )
+
+        out["dot_s2d"] = (*conv_like_scan(dot_s2d, lhs, k), 2 * m * k * n)
+
+    if "fused_bf16" in names or "fused_int8" in names:
+        from polyffusion_tpu.ops.fused_gn_conv import (
+            gn_silu_conv3x3,
+            gn_silu_conv3x3_q,
+            quantize_conv_kernel,
         )
-        return out + bias.astype(out.dtype)
 
-    def fused_bf16(x):
-        return gn_silu_conv3x3(x, a, off, wk, bias, interpret=False)
+        wq, wscale = quantize_conv_kernel(wk)
+        if "fused_bf16" in names:
+            out["fused_bf16"] = (
+                *conv_like_scan(
+                    lambda t: gn_silu_conv3x3(t, a, off, wk, bias, interpret=False),
+                    x, cin,
+                ),
+                conv_flops_per_iter,
+            )
+        if "fused_int8" in names:
+            out["fused_int8"] = (
+                *conv_like_scan(
+                    lambda t: gn_silu_conv3x3_q(t, a, off, wq, wscale, bias,
+                                                interpret=False),
+                    x, cin,
+                ),
+                conv_flops_per_iter,
+            )
+    return out
 
-    def fused_int8(x):
-        return gn_silu_conv3x3_q(x, a, off, wq, wscale, bias, interpret=False)
 
-    variants = {"xla_bf16": xla_bf16, "fused_bf16": fused_bf16, "fused_int8": fused_int8}
+def run(site, iters, outdir, names):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "JAX_CACHE_DIR", "/tmp/jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    variants = build_variants(site, names)
     compiled = {}
-    for name, fn in variants.items():
-        # keep iterating on the output so the scan can't be collapsed; pad the
-        # channel mismatch by re-slicing/tiling back to cin
-        def body(carry, _, fn=fn):
-            out = fn(carry)
-            if cout != cin:
-                reps = cin // cout
-                out = jnp.concatenate([out] * reps, axis=-1)
-            return (out * 1e-3 + carry * 0.5).astype(carry.dtype), ()
-
+    inputs = {}
+    for name, (x0, body, _) in variants.items():
         compiled[name] = jax.jit(
             lambda x0, body=body: jax.lax.scan(body, x0, None, length=iters)[0]
         )
-        compiled[name](x).block_until_ready()  # compile + warm
+        inputs[name] = x0
+        compiled[name](x0).block_until_ready()  # compile + warm
 
     with jax.profiler.trace(outdir):
         for name in variants:
-            compiled[name](x).block_until_ready()
+            compiled[name](inputs[name]).block_until_ready()
 
-    flops = 2 * b * h * w * 9 * cin * cout * iters
-    report(outdir, site, iters, flops)
+    report(outdir, site, iters, {n: v[2] for n, v in variants.items()})
 
 
-def report(outdir, site, iters, flops):
+def report(outdir, site, iters, flops_by_name):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(
@@ -108,7 +202,7 @@ def report(outdir, site, iters, flops):
     xspace = xplane_pb2.XSpace()
     with open(paths[-1], "rb") as f:
         xspace.ParseFromString(f.read())
-    # the three scans appear as three %while ops in execution order
+    # the scans appear as %while ops in execution order
     whiles = []
     for plane in xspace.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name:
@@ -122,7 +216,7 @@ def report(outdir, site, iters, flops):
                 if name.startswith("%while"):
                     whiles.append((ev.offset_ps, name, ev.duration_ps / 1e12))
     whiles.sort()
-    names = ["xla_bf16", "fused_bf16", "fused_int8"]
+    names = list(flops_by_name)
     if len(whiles) != len(names):
         raise SystemExit(
             f"expected {len(names)} %while ops (one per variant) in the trace, "
@@ -130,16 +224,26 @@ def report(outdir, site, iters, flops):
             + "; ".join(w[1].split(" = ")[0] for w in whiles)
         )
     print(f"\n== site {site} (iters {iters}) ==")
+    rows = {}
     for (off_, wname, dur), label in zip(whiles, names):
+        flops = flops_by_name[label] * iters
         tf = flops / dur / 1e12
+        rows[label] = round(tf, 1)
         print(f"{label:11s} {dur*1e3:8.1f} ms total  {dur*1e6/iters:8.1f} us/site  "
               f"{tf:6.1f} TFLOP/s eff  ({wname.split(' = ')[0]})")
+    print(json.dumps({"site": site, "eff_tflops": rows}))
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--site", default="l0dec", choices=list(SITES))
+    ap.add_argument("--site", default="l0enc", choices=list(SITES))
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--outdir", default="/tmp/conv_kernel_prof")
+    ap.add_argument("--variants", default=DEFAULT_VARIANTS)
+    ap.add_argument("--fused", action="store_true",
+                    help="also run the Pallas fused kernels")
     args = ap.parse_args()
-    run(args.site, args.iters, args.outdir)
+    names = [v.strip() for v in args.variants.split(",") if v.strip()]
+    if args.fused:
+        names += ["fused_bf16", "fused_int8"]
+    run(args.site, args.iters, args.outdir, names)

@@ -33,10 +33,15 @@ def make_eps_fn(
 ):
     """Classifier-free-guidance epsilon (reference ``sampler/__init__.py:42-80``).
 
-    ``uncond_scale`` is static: s == 1 -> single cond pass; s == 0 -> uncond pass;
-    otherwise ONE double-batched call then ``e_u + s * (e_c - e_u)``.
+    ``uncond_scale`` static (Python number): s == 1 -> single cond pass; s == 0 ->
+    uncond pass; otherwise ONE double-batched call then ``e_u + s * (e_c - e_u)``.
+
+    ``uncond_scale`` TRACED (jnp scalar / tracer): always the double-batched
+    path — algebraically correct for every s (s=0 -> e_u, s=1 -> e_c), so one
+    compiled sampler serves ALL guidance scales at the price of the 2x batch.
     ``cond_concat`` (extra input channels) is concatenated before the net.
     """
+    static = isinstance(uncond_scale, (int, float))
 
     def eps(params, x, t, cond, cond_concat=None):
         def run(xx, tt, cc):
@@ -46,9 +51,9 @@ def make_eps_fn(
                 xx = jnp.concatenate([xx, cat.astype(xx.dtype)], axis=-1)
             return apply_fn(params, xx, tt, cc)
 
-        if uncond_cond is None or uncond_scale == 1.0:
+        if uncond_cond is None or (static and uncond_scale == 1.0):
             return run(x, t, cond)
-        if uncond_scale == 0.0:
+        if static and uncond_scale == 0.0:
             return run(x, t, uncond_cond)
         import os
 

@@ -6,6 +6,9 @@ Experiment types:
     inp_bars   inpaint bars 2-5 of each 8-bar segment, emit the inpainted middle
     chd        chord-conditioned generation (saves the conditioning chords too)
     txt        texture-conditioned generation (saves the conditioning originals)
+    chd_acc    chord CONTROL-FIDELITY sweep: generate at --scales, recognize
+               chords back from the output, score vs the conditioning with the
+               mir_eval comparison surface (majmin/triads/root/mirex + seg)
 
     python -m polyffusion_tpu.expr --chkpt_path <run dir> --data_dir <npz dir> \
         --type uncond --batch_num 10 --output_dir exp
@@ -119,12 +122,85 @@ def txt_conditioning(session, task, args):
     return gen
 
 
+def _recognize_segment(prmat2c_sample: np.ndarray):
+    """(2, 128, 128) generated image -> (est_intervals, est_labels): write one
+    8-bar MIDI (16 s at 120 bpm) and run the chord recognizer over it."""
+    import tempfile
+
+    from .chord.recognizer import transcribe_midi
+
+    if not np.rint(prmat2c_sample[0]).any():  # no onsets: nothing to recognize
+        return np.array([[0.0, 16.0]]), ["N"]
+    with tempfile.NamedTemporaryFile(suffix=".mid", delete=False) as f:
+        path = f.name
+    try:
+        prmat2c_to_midi_file(prmat2c_sample[None], path)
+        rows = transcribe_midi(path)
+    finally:
+        os.unlink(path)
+    if not rows:
+        return np.array([[0.0, 16.0]]), ["N"]
+    return np.array([[r[0], r[1]] for r in rows], float), [r[2] for r in rows]
+
+
+def chd_acc(session, task, args):
+    """CONTROL-FIDELITY metric — the reference paper's headline quality claim
+    (chord control accuracy; reference expr.py:86-122 generates, the paper
+    scores).  For each CFG scale: generate conditioned on the val split's
+    chord progressions, recognize chords from the generated MIDI
+    (chord/recognizer.py), and score estimated vs conditioning labels with
+    the mir_eval comparison surface (chord/eval.py).  Accuracy rising with
+    guidance scale == the conditioning channel is causally steering the
+    output.  Writes chd_acc.json and prints a table; scale 0.0 rows are the
+    unconditional chance floor."""
+    from .chord.eval import evaluate
+    from .chord.labels import beat_labels_to_intervals, labels_from_chord_matrix
+    from .utils.reprs import onehot_to_chd
+
+    scales = [float(s) for s in args.scales.split(",")]
+    batches = list(
+        _batches(args.data_dir, args.batch_size, args.batch_num, split_file=args.split_file)
+    )
+    refs = []  # per sample: (intervals, labels)
+    for batch in batches:
+        for chord_onehot in batch.chord:
+            labels = labels_from_chord_matrix(onehot_to_chd(np.asarray(chord_onehot)))
+            refs.append(beat_labels_to_intervals(labels))
+
+    metrics = ("majmin", "triads", "root", "mirex", "seg")
+    table = {}
+    for s in scales:
+        gen = []
+        for batch in batches:
+            cond = np.asarray(task.encode_chord(np.asarray(batch.chord, np.float32)))
+            gen.append(session.predict(cond, uncond_scale=s))
+        gen = np.concatenate(gen)
+        assert len(gen) == len(refs)
+        scores = {m: [] for m in metrics}
+        for sample, (ref_iv, ref_lab) in zip(gen, refs):
+            est_iv, est_lab = _recognize_segment(sample)
+            res = evaluate(ref_iv, ref_lab, est_iv, est_lab)
+            for m in metrics:
+                scores[m].append(res[m])
+        table[s] = {m: round(float(np.mean(v)), 4) for m, v in scores.items()}
+        print(f"scale {s:>4}: " + "  ".join(f"{m}={table[s][m]:.3f}" for m in metrics))
+
+    import json
+
+    out = os.path.join(args.output_dir, "chd_acc.json")
+    with open(out, "w") as f:
+        json.dump({"n_samples": len(refs), "scales": table}, f, indent=1)
+    print(f"chord control accuracy table -> {out}")
+    return table
+
+
 EXPERIMENTS = {
     "uncond": prompt_generation,
     "inp_below": acc_arrangement,
     "inp_bars": inpaint_bars,
     "chd": chd_conditioning,
     "txt": txt_conditioning,
+    "chd_acc": chd_acc,
 }
 
 
@@ -139,6 +215,8 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--output_dir", default="exp")
     p.add_argument("--uncond_scale", type=float, default=1.0)
+    p.add_argument("--scales", default="0,1,3,5",
+                   help="chd_acc: comma-separated CFG scales to sweep")
     p.add_argument("--ddim", action="store_true")
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--repaint_n", type=int, default=1)
@@ -155,6 +233,8 @@ def main(argv=None):
     session = InferenceSession(
         task, params, use_ddim=args.ddim, ddim_steps=args.ddim_steps,
         repaint_n=args.repaint_n, seed=args.seed,
+        # one compiled sampler across the whole scale sweep
+        traced_cfg_scale=(args.type == "chd_acc"),
     )
     os.makedirs(args.output_dir, exist_ok=True)
     EXPERIMENTS[args.type](session, task, args)

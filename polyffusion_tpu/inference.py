@@ -170,6 +170,7 @@ class InferenceSession:
         seed: int = 0,
         mesh=None,
         bf16_params: bool = False,
+        traced_cfg_scale: bool = False,
     ):
         """``mesh``: optional dp mesh — batch-shards sampling across devices
         (params replicated); batch must divide the mesh size.
@@ -177,7 +178,13 @@ class InferenceSession:
         ``bf16_params``: cast non-norm parameters to bfloat16 once at load —
         halves per-eval weight traffic on the bandwidth-bound sampling path
         (see utils/precision.py).  Off by default to keep fp32 trajectory
-        parity with the torch reference."""
+        parity with the torch reference.
+
+        ``traced_cfg_scale``: pass the CFG scale into the compiled sampler as
+        a TRACED scalar — ONE executable serves every guidance scale (vs one
+        20-60 min TPU compile per scale), at the cost of running the
+        double-batched CFG path even for s in {0, 1}.  The scale sweep of
+        ``expr --type chd_acc`` and multi-scale serving want this on."""
         import jax
 
         self.task = task
@@ -208,6 +215,7 @@ class InferenceSession:
         )
         self.ddim_label = f"ddim{ddim_steps}_eta{ddim_eta}_{ddim_discretize}"
         self.rng = jax.random.PRNGKey(seed)
+        self.traced_cfg = traced_cfg_scale
         self._paint_cache = {}
 
     def _next_rng(self):
@@ -229,11 +237,14 @@ class InferenceSession:
         return q_sample_step(self.schedule, orig_nhwc, self.t_idx, noise)
 
     def _paint_fn(self, uncond_scale: float):
-        """Jitted full-loop paint for a given CFG scale (compiled once per shape)."""
+        """Jitted full-loop paint for a given CFG scale (compiled once per shape;
+        with ``traced_cfg_scale`` the scale is a runtime argument and ONE
+        executable covers every scale)."""
         import jax
 
-        key = (uncond_scale, self.use_ddim, self.repaint_n)
+        key = ("traced" if self.traced_cfg else uncond_scale, self.use_ddim, self.repaint_n)
         if key not in self._paint_cache:
+            traced = self.traced_cfg
             concat_blurry = getattr(self.task, "concat_blurry", False)
             concat_ratio = getattr(self.task, "concat_ratio", 0.25)
 
@@ -246,7 +257,8 @@ class InferenceSession:
 
             if self.use_ddim:
 
-                def paint(params, x, cond, rng, orig, mask, orig_noise, uncond_cond):
+                def paint(params, x, cond, rng, orig, mask, orig_noise, uncond_cond,
+                          scale):
                     return S.ddim_paint(
                         self.task.apply_eps,
                         params,
@@ -258,14 +270,15 @@ class InferenceSession:
                         orig=orig,
                         mask=mask,
                         orig_noise=orig_noise,
-                        uncond_scale=uncond_scale,
+                        uncond_scale=scale if traced else uncond_scale,
                         uncond_cond=uncond_cond,
                         cond_concat=cond_concat_of(orig),
                     )
 
             else:
 
-                def paint(params, x, cond, rng, orig, mask, orig_noise, uncond_cond):
+                def paint(params, x, cond, rng, orig, mask, orig_noise, uncond_cond,
+                          scale):
                     del orig_noise
                     return S.ddpm_paint(
                         self.task.apply_eps,
@@ -277,7 +290,7 @@ class InferenceSession:
                         rng,
                         orig=orig,
                         mask=mask,
-                        uncond_scale=uncond_scale,
+                        uncond_scale=scale if traced else uncond_scale,
                         uncond_cond=uncond_cond,
                         cond_concat=cond_concat_of(orig),
                         repaint_n=self.repaint_n,
@@ -329,6 +342,7 @@ class InferenceSession:
                 return jax.device_put(a, batch_sharding(self.mesh))
             return a
 
+        scale_arg = jnp.float32(uncond_scale)
         if not autoreg:
             xt = self._q_sample_start(put(orig_nhwc), put(noise))
             gen = paint(
@@ -340,6 +354,7 @@ class InferenceSession:
                 put(mask_nhwc),
                 put(noise),
                 put(uncond_cond),
+                scale_arg,
             )
             return np.transpose(np.asarray(gen), (0, 3, 1, 2))
 
@@ -381,6 +396,7 @@ class InferenceSession:
                     jnp.asarray(m),
                     jnp.asarray(nz),
                     uncond_seg,
+                    scale_arg,
                 )
             )
             if idx == 0:

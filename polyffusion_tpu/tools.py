@@ -91,6 +91,89 @@ def pop909_import(origin_dir: str, out_dir: str) -> int:
 
 
 # ---------------------------------------------------------------------------
+# synthetic harmonic corpus (control-fidelity training data)
+# ---------------------------------------------------------------------------
+
+# diatonic degree -> (semitone offset, quality) in a major key; V7 for color
+_MAJOR_DEGREES = [
+    (0, "maj"), (2, "min"), (4, "min"), (5, "maj"), (7, "maj"), (9, "min"),
+    (7, "7"), (0, "maj7"), (9, "min7"),
+]
+# common pop progressions over the degree list above (indices)
+_PROGRESSIONS = [
+    [0, 4, 5, 3], [0, 5, 3, 4], [1, 4, 0, 0], [0, 3, 4, 0],
+    [5, 3, 0, 4], [0, 7, 1, 6], [0, 8, 3, 4],
+]
+_QUALITY_TONES = {
+    "maj": (0, 4, 7), "min": (0, 3, 7), "7": (0, 4, 7, 10),
+    "maj7": (0, 4, 7, 11), "min7": (0, 3, 7, 10),
+}
+
+
+def synth_corpus(out_dir: str, n_songs: int = 64, n_bars: int = 32, seed: int = 0):
+    """Write a synthetic corpus with REAL harmonic structure: every note is a
+    chord tone of a labeled diatonic progression, so chord conditioning is
+    perfectly learnable and the chord matrices are exact ground truth.
+
+    Song = random key + random common progressions, one chord per bar.
+    Tracks mirror POP909's (melody, bridge, piano): arpeggiated chord-tone
+    melody, beat-wise block chords, half-bar bass roots.  Used to train the
+    chord-conditioned model whose control fidelity ``expr --type chd_acc``
+    measures (the reference paper's quality metric, on data this environment
+    can actually provide).
+    """
+    from .chord.encode import encode_to_absolute_row
+    from .chord.templates import NUM_TO_ABS_SCALE
+    from .data.dataset import write_song_npz
+
+    os.makedirs(out_dir, exist_ok=True)
+    for song_i in range(n_songs):
+        rng = np.random.default_rng(seed + song_i)
+        key = int(rng.integers(0, 12))
+        chords = []  # one (root_pc, quality) per bar
+        while len(chords) < n_bars:
+            prog = _PROGRESSIONS[int(rng.integers(0, len(_PROGRESSIONS)))]
+            for deg in prog:
+                off, quality = _MAJOR_DEGREES[deg]
+                chords.append(((key + off) % 12, quality))
+        chords = chords[:n_bars]
+
+        melody, bridge, bass = [], [], []
+        for bar, (root, quality) in enumerate(chords):
+            t0 = bar * 16  # 16 sixteenth-bins per bar
+            tones = _QUALITY_TONES[quality]
+            # melody: eighth-note arpeggio over chord tones, octave 5
+            order = rng.permutation(len(tones))
+            for k in range(8):
+                pitch = 72 + root % 12 + tones[order[k % len(tones)]]
+                melody.append([t0 + 2 * k, int(pitch), 2, 90, 0])
+            # bridge: block chord on beats 1 and 3, octave 4
+            for beat in (0, 2):
+                for iv in tones:
+                    bridge.append([t0 + 4 * beat, 60 + root + iv, 8, 80, 0])
+            # bass: root on every half bar, octave 2/3
+            bass.append([t0, 36 + root, 8, 85, 0])
+            bass.append([t0 + 8, 48 + root, 8, 85, 0])
+
+        rows = []
+        for root, quality in chords:
+            label = f"{NUM_TO_ABS_SCALE[root]}:{quality}"
+            rows.extend([encode_to_absolute_row(label)] * 4)  # 4 beats per bar
+        chord_mat = np.array(rows, dtype=np.float32)
+
+        n_bins = n_bars * 16
+        db_pos = np.arange(0, n_bins, 16)
+        filt = db_pos + 128 <= n_bins
+        tracks = [np.array(t, dtype=np.int64) for t in (melody, bridge, bass)]
+        write_song_npz(
+            os.path.join(out_dir, f"synth_{song_i:03d}.npz"),
+            tracks, chord_mat, db_pos, filt, n_beats=n_bars * 4,
+        )
+    print(f"wrote {n_songs} synthetic songs ({n_bars} bars each) -> {out_dir}")
+    return n_songs
+
+
+# ---------------------------------------------------------------------------
 # run-dir pruning (reference cleanup_checkpoints.py)
 # ---------------------------------------------------------------------------
 
@@ -143,6 +226,11 @@ def main(argv=None):
     p3 = sub.add_parser("remove_from_split")
     p3.add_argument("--split", required=True)
     p3.add_argument("--song", required=True)
+    p4 = sub.add_parser("synth_corpus")
+    p4.add_argument("--out", required=True)
+    p4.add_argument("--n_songs", type=int, default=64)
+    p4.add_argument("--n_bars", type=int, default=32)
+    p4.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     if args.cmd == "pop909_import":
         pop909_import(args.origin, args.out)
@@ -150,6 +238,8 @@ def main(argv=None):
         cleanup_checkpoints(args.result_dir, args.yes)
     elif args.cmd == "remove_from_split":
         remove_from_split(args.split, args.song)
+    elif args.cmd == "synth_corpus":
+        synth_corpus(args.out, args.n_songs, args.n_bars, args.seed)
 
 
 if __name__ == "__main__":

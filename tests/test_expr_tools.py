@@ -275,3 +275,76 @@ def test_generation_determinism():
     c = InferenceSession(task, params, use_ddim=True, ddim_steps=2, seed=8).predict(cond)
     np.testing.assert_array_equal(a, b)
     assert np.abs(a - c).max() > 1e-3
+
+
+def test_chord_label_roundtrip():
+    """encode_to_absolute_row -> label_from_chd_row inverts exactly for the
+    recognizer vocabulary (incl. inversions), and falls back sensibly."""
+    from polyffusion_tpu.chord.encode import encode_to_absolute_row
+    from polyffusion_tpu.chord.labels import (
+        beat_labels_to_intervals,
+        label_from_chd_row,
+        labels_from_chord_matrix,
+    )
+
+    for lab in ["C:maj", "A:min7/b7", "F#:sus4(b7)", "Eb:dim7", "G:7/3"]:
+        row = encode_to_absolute_row(lab)
+        assert label_from_chd_row(row) == lab, lab
+    assert label_from_chd_row([0] * 14) == "N"
+    # labels whose mir_eval bitmap differs from the recognizer template fall
+    # back to the nearest-scored template: same root and triad class
+    assert label_from_chd_row(encode_to_absolute_row("B:maj9")) == "B:maj7"
+
+    mat = np.array([encode_to_absolute_row("C:maj")] * 4
+                   + [encode_to_absolute_row("F:maj")] * 4, np.float32)
+    labs = labels_from_chord_matrix(mat)
+    iv, merged = beat_labels_to_intervals(labs)
+    assert merged == ["C:maj", "F:maj"]
+    np.testing.assert_allclose(iv, [[0.0, 2.0], [2.0, 4.0]])
+
+
+def test_chd_acc_scores_oracle_performance():
+    """The full control-fidelity path (MIDI write -> recognize -> mir_eval
+    scoring) must score ~1.0 on a piano roll that literally PLAYS the
+    conditioning chords (metric-validity oracle for expr --type chd_acc)."""
+    from polyffusion_tpu.chord.eval import evaluate
+    from polyffusion_tpu.chord.labels import beat_labels_to_intervals
+
+    TONES = {"C:maj": [48, 60, 64, 67], "F:maj": [53, 65, 69, 72],
+             "G:maj": [55, 67, 71, 74], "A:min": [45, 57, 60, 64]}
+    prog = (["C:maj"] * 8 + ["F:maj"] * 8 + ["G:maj"] * 8 + ["A:min"] * 8)
+    roll = np.zeros((2, 128, 128), np.float32)
+    for beat, lab in enumerate(prog):
+        s = beat * 4
+        for p in TONES[lab]:
+            roll[0, s, p] = 1.0
+            roll[1, s : s + 4, p] = 1.0
+    ref_iv, ref_lab = beat_labels_to_intervals(prog)
+    est_iv, est_lab = X._recognize_segment(roll)
+    res = evaluate(ref_iv, ref_lab, est_iv, est_lab)
+    assert res["majmin"] > 0.95, res
+    assert res["root"] > 0.95, res
+    assert res["seg"] > 0.8, res
+
+
+def test_chd_acc_experiment_runs(session_task, data_dir, tmp_path):
+    """chd_acc sweeps scales with ONE traced-scale executable and emits the
+    accuracy table (untrained model: values are the chance floor)."""
+    task = session_task[1]
+    params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+    session = InferenceSession(
+        task, params, use_ddim=True, ddim_steps=2, traced_cfg_scale=True
+    )
+    args = SimpleNamespace(
+        data_dir=data_dir, split_file=None, batch_size=2, batch_num=1,
+        output_dir=str(tmp_path), uncond_scale=1.0, scales="0,3",
+    )
+    table = X.EXPERIMENTS["chd_acc"](session, task, args)
+    assert set(table) == {0.0, 3.0}
+    for row in table.values():
+        assert set(row) == {"majmin", "triads", "root", "mirex", "seg"}
+        assert all(0.0 <= v <= 1.0 for v in row.values())
+    assert len(session._paint_cache) == 1  # one executable for the whole sweep
+    import os
+
+    assert os.path.exists(os.path.join(tmp_path, "chd_acc.json"))

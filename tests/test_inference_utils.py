@@ -56,3 +56,38 @@ def test_autoreg_mid_windows():
     mid = get_autoreg_data(data, axis=1)
     np.testing.assert_array_equal(mid[0], np.concatenate([data[0, 4:], data[1, :4]]))
     np.testing.assert_array_equal(mid[1], np.concatenate([data[1, 4:], data[2, :4]]))
+
+
+def test_traced_cfg_scale_matches_static():
+    """traced_cfg_scale=True must reproduce the static-scale trajectories for
+    s in {0, 1, 5} bit-closely (one executable serves all scales)."""
+    import jax
+
+    from polyffusion_tpu.config import Params
+    from polyffusion_tpu.inference import InferenceSession
+    from polyffusion_tpu.tasks import SDFTask
+
+    cfg = Params(
+        model_name="sdf_test", batch_size=2, max_epoch=1, learning_rate=1e-4,
+        max_grad_norm=10, bf16=False, in_channels=2, out_channels=2, channels=32,
+        attention_levels=[1], n_res_blocks=1, channel_multipliers=[1, 2],
+        n_heads=2, tf_layers=1, d_cond=1152, linear_start=0.00085,
+        linear_end=0.012, n_steps=8, img_h=32, img_w=32, cond_type="chord",
+        cond_mode="mix", use_enc=False,
+    )
+    task = SDFTask(cfg)
+    params = task.init_params(jax.random.PRNGKey(0))
+    cond = np.random.default_rng(0).standard_normal((2, 1, 1152)).astype(np.float32)
+
+    for scale in (0.0, 1.0, 5.0):
+        a = InferenceSession(task, params, seed=3).predict(cond, uncond_scale=scale)
+        b = InferenceSession(task, params, seed=3, traced_cfg_scale=True).predict(
+            cond, uncond_scale=scale
+        )
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+    # one executable: the traced session's paint cache has a single entry
+    s = InferenceSession(task, params, seed=3, traced_cfg_scale=True)
+    s.predict(cond, uncond_scale=0.0)
+    s.predict(cond, uncond_scale=5.0)
+    assert len(s._paint_cache) == 1
