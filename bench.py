@@ -20,9 +20,24 @@ the measurement automatically reruns and the faster median wins.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "spread", "iters"}.
 
-Knobs: ``BENCH_METRIC=train`` measures the secondary metric (flagship training
-step time, batch 16); ``POLYFF_BF16_PARAMS=0`` disables the bfloat16 sampling
-weights (fp32 weights were the round-1 configuration, 10.2-10.3 samples/s).
+Knobs — ``BENCH_METRIC`` selects the workload (each is one of BASELINE.json's
+named configs; the default is the headline):
+    (default)   DDIM-50 + CFG-5 conditional sampling, batch 64
+    train       flagship training step time, batch 16
+    ddpm1000    full 1000-step ancestral DDPM sampling, unconditional, batch 64
+                (reference sampler_sdf.py:194-255 — the non-DDIM default path)
+    autoreg     10x8-bar long-form autoregressive generation, wall time per
+                piece (reference inference_sdf.py:227-283, --autoreg --length 10)
+    inpaint     inpaint-below throughput at DDIM-50 + CFG-5, batch 64
+                (reference inference_sdf.py --inpaint_type below)
+``POLYFF_BF16_PARAMS=0`` disables the bfloat16 sampling weights (fp32 weights
+were the round-1 configuration, 10.2-10.3 samples/s).
+
+A100 denominators follow BASELINE.md's eager-HBM-roofline methodology: the
+headline workload pins 2.0 samples/s at 100 UNet evals/sample; DDPM-1000 is
+the same per-eval arithmetic at 1000 single-batched evals (0.2 samples/s);
+autoreg is 19 windows of the headline workload at batch 1 (9.5 s/piece);
+inpaint adds only a mask-blend epilogue to the headline (2.0 samples/s).
 """
 
 import json
@@ -216,8 +231,125 @@ def main_train():
     )
 
 
+def _flagship_session(**kw):
+    """Random-weight flagship task + InferenceSession (speed is weight-independent)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "JAX_CACHE_DIR", "/tmp/jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from polyffusion_tpu.config import load_params
+    from polyffusion_tpu.inference import InferenceSession
+    from polyffusion_tpu.parallel.mesh import init_on_cpu
+    from polyffusion_tpu.tasks import SDFTask
+
+    cfg = load_params("sdf_chd8bar")
+    cfg["bf16"] = True
+    task = SDFTask(cfg)
+    params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+    session = InferenceSession(
+        task, params,
+        bf16_params=os.environ.get("POLYFF_BF16_PARAMS", "1") == "1",
+        seed=0, **kw,
+    )
+    return task, session, cfg
+
+
+def main_ddpm1000():
+    """BASELINE.json config 1: unconditional 1000-step ancestral DDPM sampling
+    (reference sampler_sdf.py:194-255).  A100 denominator: same per-eval
+    arithmetic as the headline at 1000 single-batched evals -> 0.2 samples/s."""
+    import numpy as np
+
+    b = int(os.environ.get("BENCH_BATCH", "64"))
+    task, session, cfg = _flagship_session()  # DDPM sampler is the default
+    cond = -np.ones((b, 1, cfg.d_cond), np.float32)
+
+    session.predict(cond, uncond_scale=1.0)  # compile + warm
+
+    def one_iter(i):
+        session.predict(cond, uncond_scale=1.0)
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    med, spread = _measure(one_iter, n_iters)
+    v = b / med
+    print(json.dumps({
+        "metric": "8bar_samples_per_sec_ddpm1000_uncond",
+        "value": round(v, 3), "unit": "samples/sec/chip",
+        "vs_baseline": round(v / 0.2, 3), "spread": round(spread, 4),
+        "iters": n_iters,
+    }))
+
+
+def main_autoreg():
+    """BASELINE.json config 5a: 10x8-bar long-form generation wall time
+    (reference --autoreg --length 10: 19 sliding paints at batch 1, forcing
+    each window's first half to the previous window's second half).
+    A100 denominator: 19 windows / 2.0 samples/s = 9.5 s/piece."""
+    import numpy as np
+
+    length = int(os.environ.get("BENCH_AUTOREG_LEN", "10"))
+    task, session, cfg = _flagship_session(use_ddim=True, ddim_steps=DDIM_STEPS)
+    rng = np.random.default_rng(0)
+    cond = rng.standard_normal((length, 1, cfg.d_cond)).astype(np.float32)
+    cond_mid = rng.standard_normal((length - 1, 1, cfg.d_cond)).astype(np.float32)
+
+    session.predict(cond, cond_mid, uncond_scale=CFG_SCALE, autoreg=True)  # warm
+
+    def one_iter(i):
+        session.predict(cond, cond_mid, uncond_scale=CFG_SCALE, autoreg=True)
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "3"))
+    med, spread = _measure(one_iter, n_iters)
+    baseline_s = (2 * length - 1) / A100_REFERENCE_SAMPLES_PER_SEC
+    print(json.dumps({
+        "metric": f"autoreg_{length}x8bar_wall_time",
+        "value": round(med, 3), "unit": "sec/piece",
+        "vs_baseline": round(baseline_s / med, 3), "spread": round(spread, 4),
+        "iters": n_iters,
+    }))
+
+
+def main_inpaint():
+    """BASELINE.json config 5b: inpaint-below throughput at DDIM-50 + CFG-5
+    (reference --inpaint_type below: keep the melody line, regenerate the
+    accompaniment region under it).  A100 denominator: the headline workload
+    plus a mask-blend epilogue -> 2.0 samples/s."""
+    import numpy as np
+
+    b = int(os.environ.get("BENCH_BATCH", "64"))
+    task, session, cfg = _flagship_session(use_ddim=True, ddim_steps=DDIM_STEPS)
+    # synthetic melody to inpaint below: one sounding pitch per step
+    rng = np.random.default_rng(0)
+    orig = np.zeros((b, 2, 128, 128), np.float32)
+    pitches = 60 + (rng.integers(0, 12, (b, 128)))
+    for i in range(b):
+        orig[i, 0, np.arange(128), pitches[i]] = 1.0
+        orig[i, 1, np.arange(128), pitches[i]] = 1.0
+    cond = -np.ones((b, 1, cfg.d_cond), np.float32)
+
+    session.inpaint(orig, "below", cond, uncond_scale=CFG_SCALE, no_output=True)
+
+    def one_iter(i):
+        session.inpaint(orig, "below", cond, uncond_scale=CFG_SCALE, no_output=True)
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    med, spread = _measure(one_iter, n_iters)
+    v = b / med
+    print(json.dumps({
+        "metric": "8bar_samples_per_sec_inpaint_below_ddim50_cfg",
+        "value": round(v, 3), "unit": "samples/sec/chip",
+        "vs_baseline": round(v / A100_REFERENCE_SAMPLES_PER_SEC, 3),
+        "spread": round(spread, 4), "iters": n_iters,
+    }))
+
+
 if __name__ == "__main__":
-    if os.environ.get("BENCH_METRIC") == "train":
-        main_train()
-    else:
-        main()
+    dispatch = {
+        "train": main_train,
+        "ddpm1000": main_ddpm1000,
+        "autoreg": main_autoreg,
+        "inpaint": main_inpaint,
+    }
+    dispatch.get(os.environ.get("BENCH_METRIC", ""), main)()
