@@ -217,6 +217,16 @@ def main_train():
     n_iters = int(os.environ.get("BENCH_ITERS", "5"))
     med, spread = _measure(one_iter, n_iters)
     dt = med / steps_per_iter
+    # model FLOP utilization of the measured executable (bf16 peak 197 TFLOP/s,
+    # v5e — TODO.md speed-of-light arithmetic); best-effort
+    mfu = None
+    try:
+        cost = train_step.lower(state, tuple(batch), rng, ()).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        mfu = round(float(cost["flops"]) / dt / 197e12, 4)
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -226,6 +236,7 @@ def main_train():
                 "vs_baseline": round(ROUND1_TRAIN_STEP_MS / (dt * 1000), 3),
                 "spread": round(spread, 4),
                 "iters": n_iters,
+                "mfu": mfu,
             }
         )
     )

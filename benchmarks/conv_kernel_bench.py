@@ -66,16 +66,19 @@ def build_variants(site, names):
     out = {}
 
     def conv_like_scan(step_fn, x0, cin_eff):
-        """step: y=f(carry); feed back by channel-tiling to cin_eff."""
+        """step: y=f(carry); feed back via a channel-mean broadcast.
+
+        The old channel-TILING feedback (concat y x9 to refill the contraction
+        width) dominated the dot variants' measured time — a 9x-output-size
+        relayout per iteration — making the "ceiling" dots look slower than
+        the convs they were meant to bound.  A keepdims mean + broadcast-add
+        keeps the data dependence (no DCE) at ~one carry-write of traffic,
+        identical across variants."""
 
         def body(carry, _):
             y = step_fn(carry)
-            co = y.shape[-1]
-            if co < cin_eff:
-                y = jnp.concatenate([y] * (cin_eff // co), axis=-1)
-            elif co > cin_eff:
-                y = y[..., :cin_eff]
-            return (y * 1e-3 + carry * 0.5).astype(carry.dtype), ()
+            r = jnp.mean(y, axis=-1, keepdims=True).astype(carry.dtype)
+            return carry * 0.5 + r * 1e-3, ()
 
         return x0, body
 
@@ -116,7 +119,7 @@ def build_variants(site, names):
         lhs = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
         rhs = jnp.asarray(rng.standard_normal((k, n)) * k**-0.5, jnp.bfloat16)
 
-        def dot_equiv(t):
+        def dot_equiv(t, rhs=rhs):  # bind now: dot_s2d below reuses the names
             return jax.lax.dot_general(
                 t, rhs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.bfloat16,
@@ -130,7 +133,7 @@ def build_variants(site, names):
         lhs = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
         rhs = jnp.asarray(rng.standard_normal((k, n)) * k**-0.5, jnp.bfloat16)
 
-        def dot_s2d(t):
+        def dot_s2d(t, rhs=rhs):
             return jax.lax.dot_general(
                 t, rhs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.bfloat16,

@@ -72,7 +72,7 @@ def parse(outdir: str, top: int = 40) -> None:
     )
     if not paths:
         print("no xplane.pb found", file=sys.stderr)
-        return
+        return None
     xspace = xplane_pb2.XSpace()
     with open(paths[-1], "rb") as f:
         xspace.ParseFromString(f.read())
@@ -105,6 +105,7 @@ def parse(outdir: str, top: int = 40) -> None:
     print(f"\n-- top {top} ops --")
     for name, t in sorted(by_name.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{t*1e3:9.2f} ms  {100*t/total:5.1f}%  {name[:110]}")
+    return total
 
 
 if __name__ == "__main__":

@@ -55,6 +55,7 @@ class FP32GroupNorm(nn.Module):
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    folded: bool = False
 
     @nn.compact
     def __call__(
@@ -71,9 +72,17 @@ class FP32GroupNorm(nn.Module):
         per-(batch, channel) affine vectors ``(a, off)`` with ``y = x*a + off``
         — consumed by the fused GN+SiLU+conv kernel (ops/fused_gn_conv.py) so
         the normalized tensor never hits HBM.
+
+        ``folded=True``: inputs are in the space-to-depth layout (ops/s2d.py,
+        channel ``s*C + c`` = original channel ``c`` at W-parity ``s``); the
+        statistics are computed per ORIGINAL channel (both parities of a
+        channel feed the same group) and the affine is re-folded before
+        application — bit-identical group stats, param shapes unchanged.
         """
-        c1 = x.shape[-1]
-        c = c1 + (x2.shape[-1] if x2 is not None else 0)
+        fold = 2 if self.folded else 1
+        assert not (self.folded and return_affine), "fused path is never folded"
+        c1 = x.shape[-1] // fold
+        c = c1 + (x2.shape[-1] // fold if x2 is not None else 0)
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -86,9 +95,14 @@ class FP32GroupNorm(nn.Module):
 
         def channel_sums(t):
             t32 = t.astype(jnp.float32)
-            return jnp.sum(t32, axis=spatial), jnp.sum(t32 * t32, axis=spatial)
+            s1, s2 = jnp.sum(t32, axis=spatial), jnp.sum(t32 * t32, axis=spatial)
+            if self.folded:
+                from ..ops.s2d import unfold_channel_sums
 
-        s1, s2 = channel_sums(x)  # (B, C1)
+                s1, s2 = unfold_channel_sums(s1), unfold_channel_sums(s2)
+            return s1, s2
+
+        s1, s2 = channel_sums(x)  # (B, C1) — per ORIGINAL channel when folded
         if x2 is not None:
             s1b, s2b = channel_sums(x2)
             s1 = jnp.concatenate([s1, s1b], axis=-1)  # (B, C) — tiny
@@ -112,6 +126,10 @@ class FP32GroupNorm(nn.Module):
         off = off32.astype(x.dtype)
 
         def apply_affine(t, a_c, off_c):
+            if self.folded:
+                from ..ops.s2d import fold_channel_vec
+
+                a_c, off_c = fold_channel_vec(a_c), fold_channel_vec(off_c)
             shape = (b,) + (1,) * (t.ndim - 2) + (t.shape[-1],)
             return t * a_c.reshape(shape) + off_c.reshape(shape)
 
@@ -173,6 +191,131 @@ class ConcatConv(nn.Module):
             )
 
         y = conv(x, k[:, :, :c1]) + conv(x2, k[:, :, c1:])
+        return y + bias.astype(y.dtype)
+
+
+def _s2d_enabled() -> bool:
+    """Space-to-depth folded level-0 (POLYFF_S2D=1, ops/s2d.py): run every
+    C=64 conv/GN at 128-lane occupancy.  Exact algebraic reformulation of the
+    SAME parameters — checkpoints/converters/parity untouched."""
+    import os
+
+    return os.environ.get("POLYFF_S2D", "0") == "1"
+
+
+def _s2d_conv(x, kernel, dtype, strides=(1, 1), padding=None):
+    kh, kw = kernel.shape[:2]
+    if padding is None:
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel,
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class S2dConv(nn.Module):
+    """Param-compatible stand-in for a 3x3/1x1 stride-1 ``nn.Conv`` operating
+    on the FOLDED layout: params are the NORMAL conv's ``(kh, kw, Ci, Co)``;
+    the structured folded kernel (ops/s2d.py s2d_kernel) is built at trace
+    time, so the executable contracts 2Ci -> 2Co (full MXU lanes at Ci=64)."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.s2d import fold_channel_vec, s2d_kernel
+
+        ci = x.shape[-1] // 2
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, ci, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = _s2d_conv(x, s2d_kernel(kernel.astype(self.dtype)), self.dtype)
+        return y + fold_channel_vec(bias).astype(y.dtype)
+
+
+class S2dConcatConv(nn.Module):
+    """``ConcatConv`` twin for two FOLDED inputs: each virtual-concat part is
+    convolved with its own folded kernel slice and summed (conv distributes
+    over the channel split)."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.s2d import fold_channel_vec, s2d_kernel
+
+        c1, c2 = x.shape[-1] // 2, x2.shape[-1] // 2
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, c1 + c2, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype)
+        y = _s2d_conv(x, s2d_kernel(k[:, :, :c1]), self.dtype) + _s2d_conv(
+            x2, s2d_kernel(k[:, :, c1:]), self.dtype
+        )
+        return y + fold_channel_vec(bias).astype(y.dtype)
+
+
+class S2dEntryConv(nn.Module):
+    """Input-head conv producing FOLDED output directly from the normal-layout
+    input (ops/s2d.py s2d_entry_kernel): no standalone relayout copy ever
+    exists — the fold happens inside the conv's output indexing."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.s2d import fold_channel_vec, s2d_entry_kernel
+
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, ci, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = _s2d_conv(
+            x,
+            s2d_entry_kernel(kernel.astype(self.dtype)),
+            self.dtype,
+            strides=(1, 2),
+            padding=((1, 1), (1, 1)),
+        )
+        return y + fold_channel_vec(bias).astype(y.dtype)
+
+
+class S2dExitConv(nn.Module):
+    """DownSample conv consuming FOLDED input and producing the normal-layout
+    stride-2 output (ops/s2d.py s2d_exit_stride2_kernel) — the level-0 exit."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.s2d import s2d_exit_stride2_kernel
+
+        ci = x.shape[-1] // 2
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, ci, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = _s2d_conv(
+            x,
+            s2d_exit_stride2_kernel(kernel.astype(self.dtype)),
+            self.dtype,
+            strides=(2, 1),
+            padding=((1, 1), (1, 0)),
+        )
         return y + bias.astype(y.dtype)
 
 
@@ -337,6 +480,7 @@ class ResBlock(nn.Module):
 
     out_channels: int
     dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(
@@ -345,6 +489,8 @@ class ResBlock(nn.Module):
         t_emb: jnp.ndarray,
         skip: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        if self.folded:
+            return self._folded(x, t_emb, skip)
         c_in = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
         fused = _fused_gn_conv_enabled()
         if fused and skip is not None:
@@ -404,6 +550,53 @@ class ResBlock(nn.Module):
             h = Int8Conv3x3(self.out_channels, self.dtype, name="out_conv")(h)
         else:
             h = _conv3x3(self.out_channels, self.dtype, "out_conv")(h)
+        return res + h
+
+    def _folded(
+        self,
+        x: jnp.ndarray,
+        t_emb: jnp.ndarray,
+        skip: Optional[jnp.ndarray],
+    ) -> jnp.ndarray:
+        """The same block with every tensor in the space-to-depth layout
+        (ops/s2d.py): identical parameters, folded kernels, per-original-channel
+        GN stats — exact up to float reassociation (tested in test_s2d_unet.py)."""
+        from ..ops.s2d import fold_channel_vec
+
+        c_in = (x.shape[-1] + (skip.shape[-1] if skip is not None else 0)) // 2
+        if skip is None:
+            h = FP32GroupNorm(name="in_norm", folded=True)(x)
+            h = S2dConv(self.out_channels, (3, 3), self.dtype, name="in_conv")(
+                nn.silu(h)
+            )
+        else:
+            h1, h2 = FP32GroupNorm(name="in_norm", folded=True)(x, skip)
+            h = S2dConcatConv(self.out_channels, (3, 3), self.dtype, name="in_conv")(
+                nn.silu(h1), nn.silu(h2)
+            )
+        emb = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(
+            nn.silu(t_emb)
+        )
+        h = h + fold_channel_vec(emb)[:, None, None, :].astype(h.dtype)
+
+        if c_in != self.out_channels:
+            if skip is None:
+                res = S2dConv(self.out_channels, (1, 1), self.dtype, name="skip")(x)
+            else:
+                res = S2dConcatConv(self.out_channels, (1, 1), self.dtype, name="skip")(
+                    x, skip
+                )
+        elif skip is not None:
+            # folded concat interleaves parities: [x_even, skip_even, x_odd, skip_odd]
+            cx, ck = x.shape[-1] // 2, skip.shape[-1] // 2
+            res = jnp.concatenate(
+                [x[..., :cx], skip[..., :ck], x[..., cx:], skip[..., ck:]], axis=-1
+            )
+        else:
+            res = x
+
+        h = FP32GroupNorm(name="out_norm", folded=True)(h)
+        h = S2dConv(self.out_channels, (3, 3), self.dtype, name="out_conv")(nn.silu(h))
         return res + h
 
 
@@ -509,18 +702,28 @@ class SpatialTransformer(nn.Module):
 
 class DownSample(nn.Module):
     dtype: Any = jnp.float32
+    folded_input: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.folded_input:  # level-0 exit: folded in, normal stride-2 out
+            return S2dExitConv(x.shape[-1] // 2, self.dtype, name="conv")(x)
         return _conv3x3(x.shape[-1], self.dtype, "conv", stride=2)(x)
 
 
 class UpSample(nn.Module):
     dtype: Any = jnp.float32
+    fold_output: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         import os
+
+        if self.fold_output:  # level 1 -> 0 re-entry: upsample INTO the fold
+            from ..ops.s2d import to_s2d, upsample2x_s2d
+
+            xs = upsample2x_s2d(to_s2d(x))
+            return S2dConv(x.shape[-1], (3, 3), self.dtype, name="conv")(xs)
 
         b, h, w, c = x.shape
         # 2x nearest upsample as broadcast+reshape (identical to the reference's
@@ -565,8 +768,20 @@ class UNetModel(nn.Module):
         is computed ONCE and duplicated at the fork point — numerically identical to
         the reference's double-batched CFG call (sampler/__init__.py:69-77) at a
         fraction of the high-resolution conv cost."""
+        import os
+
         levels = len(self.channel_multipliers)
         d_time_emb = self.channels * 4
+        # Space-to-depth folded level 0 (POLYFF_S2D=1): applies only when level
+        # 0 is attention-free, the virtual concat is on, and no conflicting
+        # conv-path override is active — everything else falls back cleanly.
+        s2d = (
+            _s2d_enabled()
+            and 0 not in self.attention_levels
+            and os.environ.get("POLYFF_MATERIALIZE_CONCAT") != "1"
+            and not _fused_gn_conv_enabled()
+            and not _int8_xla_enabled()
+        )
 
         t_emb = timestep_embedding(time_steps, self.channels)
         t_emb = nn.Dense(d_time_emb, dtype=self.dtype, name="time_embed_0")(
@@ -593,14 +808,20 @@ class UNetModel(nn.Module):
                 skips = [tile2(s) for s in skips]
                 state["forked"] = True
 
-        h = _conv3x3(self.channels, self.dtype, "input_blocks_0_0")(x)
+        if s2d:
+            h = S2dEntryConv(self.channels, self.dtype, name="input_blocks_0_0")(x)
+        else:
+            h = _conv3x3(self.channels, self.dtype, "input_blocks_0_0")(x)
         skips.append(h)
         block_idx = 1
         channels_list = [self.channels * m for m in self.channel_multipliers]
         for i in range(levels):
             for _ in range(self.n_res_blocks):
                 h = ResBlock(
-                    channels_list[i], self.dtype, name=f"input_blocks_{block_idx}_0"
+                    channels_list[i],
+                    self.dtype,
+                    folded=s2d and i == 0,
+                    name=f"input_blocks_{block_idx}_0",
                 )(h, t_emb)
                 if i in self.attention_levels:
                     maybe_fork()
@@ -613,7 +834,11 @@ class UNetModel(nn.Module):
                 skips.append(h)
                 block_idx += 1
             if i != levels - 1:
-                h = DownSample(self.dtype, name=f"input_blocks_{block_idx}_0")(h)
+                h = DownSample(
+                    self.dtype,
+                    folded_input=s2d and i == 0,
+                    name=f"input_blocks_{block_idx}_0",
+                )(h)
                 skips.append(h)
                 block_idx += 1
 
@@ -626,8 +851,6 @@ class UNetModel(nn.Module):
         h = ResBlock(h.shape[-1], self.dtype, name="middle_block_2")(h, t_emb)
 
         # --- output half ------------------------------------------------------
-        import os
-
         # virtual skip-concat by default; POLYFF_MATERIALIZE_CONCAT=1 restores
         # the reference's real concatenate (A/B knob, numerically ~identical)
         virtual_concat = os.environ.get("POLYFF_MATERIALIZE_CONCAT") != "1"
@@ -639,7 +862,10 @@ class UNetModel(nn.Module):
                     h = jnp.concatenate([h, skip_t], axis=-1)
                     skip_t = None
                 h = ResBlock(
-                    channels_list[i], self.dtype, name=f"output_blocks_{block_idx}_0"
+                    channels_list[i],
+                    self.dtype,
+                    folded=s2d and i == 0,
+                    name=f"output_blocks_{block_idx}_0",
                 )(h, t_emb, skip=skip_t)
                 lidx = 1
                 if i in self.attention_levels:
@@ -651,10 +877,22 @@ class UNetModel(nn.Module):
                     )(h, cond)
                     lidx += 1
                 if i != 0 and j == self.n_res_blocks:
-                    h = UpSample(self.dtype, name=f"output_blocks_{block_idx}_{lidx}")(h)
+                    h = UpSample(
+                        self.dtype,
+                        fold_output=s2d and i == 1,
+                        name=f"output_blocks_{block_idx}_{lidx}",
+                    )(h)
                 block_idx += 1
 
         # --- head ---------------------------------------------------------------
+        if s2d:
+            from ..ops.s2d import from_s2d
+
+            h = FP32GroupNorm(name="out_norm", folded=True)(h)
+            h = S2dConv(self.out_channels, (3, 3), self.dtype, name="out_conv")(
+                nn.silu(h)
+            )
+            return from_s2d(h).astype(jnp.float32)
         h = FP32GroupNorm(name="out_norm")(h)
         h = nn.silu(h)
         h = _conv3x3(self.out_channels, self.dtype, "out_conv")(h)
