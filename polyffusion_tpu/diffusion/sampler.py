@@ -142,20 +142,27 @@ def ddpm_sample(
     eps_fn = make_eps_fn(apply_fn, uncond_scale, uncond_cond)
     steps = jnp.asarray(np.arange(schedule.n_steps - 1, -1, -1)[t_start:], jnp.int32)
 
+    # Noise is generated INSIDE the scan body from per-step keys: materializing
+    # (T, B, H, W, C) up front is 8+ GB at T=1000/batch 64 — over HBM.  The
+    # deterministic-replay path (noise_override, used by the parity tests)
+    # still scans over explicit noises.
+    nshape = (1, *x_last.shape[1:]) if repeat_noise else x_last.shape
     if noise_override is None:
-        nshape = (1, *x_last.shape[1:]) if repeat_noise else x_last.shape
-        noises = (
-            jax.random.normal(rng, (len(steps), *nshape), x_last.dtype) * temperature
-        )
+        per_step = jax.random.split(rng, len(steps))
     else:
-        noises = noise_override * temperature
+        per_step = noise_override * temperature
 
     def body(x, inp):
-        step, noise = inp
+        step, nz = inp
+        noise = (
+            jax.random.normal(nz, nshape, x_last.dtype) * temperature
+            if noise_override is None
+            else nz
+        )
         x = _ddpm_step(tbl, eps_fn, params, x, cond, step, noise, None)
         return x, None
 
-    x, _ = jax.lax.scan(body, x_last, (steps, noises))
+    x, _ = jax.lax.scan(body, x_last, (steps, per_step))
     return x
 
 
@@ -192,33 +199,33 @@ def ddpm_paint(
     n_steps = len(steps)
 
     vanilla = orig is None
+    replay = noise_override is not None
     if vanilla:
-        if noise_override is None:
-            noises = jax.random.normal(rng, (n_steps, *x.shape), x.dtype)
-        else:
-            noises = noise_override
+        per_step = noise_override if replay else jax.random.split(rng, n_steps)
 
         def body(xc, inp):
-            step, noise = inp
+            step, nz = inp
+            noise = nz if replay else jax.random.normal(nz, x.shape, x.dtype)
             return _ddpm_step(tbl, eps_fn, params, xc, cond, step, noise, cond_concat), None
 
-        x, _ = jax.lax.scan(body, x, (steps, noises))
+        x, _ = jax.lax.scan(body, x, (steps, per_step))
         return x
 
     assert mask is not None
-    if noise_override is None:
-        noises = jax.random.normal(
-            rng, (n_steps, repaint_n, 3, *x.shape), x.dtype
-        )
-    else:
-        noises = noise_override
+    # per-step (repaint_n, 3, ...) noises generated in-body from keys: the
+    # up-front stack is (T, repaint_n, 3, B, H, W, C) — 25 GB at T=1000/batch
+    # 64, over HBM.  noise_override (parity replay) keeps the explicit stack.
+    per_step = noise_override if replay else jax.random.split(rng, n_steps)
 
     from ..ops.pallas_sampler import fused_repaint_epilogue, pallas_epilogue_enabled
 
     use_pallas_epilogue = pallas_epilogue_enabled()
 
     def body(x_t, inp):
-        step, noise_u = inp
+        step, nz = inp
+        noise_u = (
+            nz if replay else jax.random.normal(nz, (repaint_n, 3, *x.shape), x.dtype)
+        )
         x_out = x_t
         for u in range(repaint_n):  # static unroll; repaint_n is small
             if use_pallas_epilogue:
@@ -263,7 +270,7 @@ def ddpm_paint(
                 x_t = jnp.where(step > 0, renoised, x_out)
         return x_out, None
 
-    x, _ = jax.lax.scan(body, x, (steps, noises))
+    x, _ = jax.lax.scan(body, x, (steps, per_step))
     return x
 
 
@@ -316,16 +323,21 @@ def ddim_sample(
     steps = jnp.asarray(dd.time_steps[::-1][t_start:].copy())
     indices = jnp.asarray(np.arange(n - 1 - t_start, -1, -1), jnp.int32)
 
-    if noise_override is None:
-        noises = jax.random.normal(rng, (len(steps), *x_last.shape), x_last.dtype) * temperature
-    else:
-        noises = noise_override * temperature
+    replay = noise_override is not None
+    per_step = (
+        noise_override * temperature if replay else jax.random.split(rng, len(steps))
+    )
 
     def body(x, inp):
-        step, index, noise = inp
+        step, index, nz = inp
+        noise = (
+            nz
+            if replay
+            else jax.random.normal(nz, x_last.shape, x_last.dtype) * temperature
+        )
         return _ddim_step(dd_tbl, eps_fn, params, x, cond, step, index, noise, None), None
 
-    x, _ = jax.lax.scan(body, x_last, (steps, indices, noises))
+    x, _ = jax.lax.scan(body, x_last, (steps, indices, per_step))
     return x
 
 
@@ -371,18 +383,17 @@ def ddim_paint(
     keys = jax.random.split(rng, 2)
     if masked and orig_noise is None:
         orig_noise = jax.random.normal(keys[0], orig.shape, orig.dtype)
-    if noise_override is None:
-        noises = jax.random.normal(keys[1], (n, *x.shape), x.dtype)
-    else:
-        noises = noise_override
+    replay = noise_override is not None
+    per_step = noise_override if replay else jax.random.split(keys[1], n)
 
     def body(xc, inp):
-        step, index, noise = inp
+        step, index, nz = inp
+        noise = nz if replay else jax.random.normal(nz, x.shape, x.dtype)
         xc = _ddim_step(dd_tbl, eps_fn, params, xc, cond, step, index, noise, cond_concat)
         if masked:
             orig_t = ddim_q_sample(dd, orig, index, orig_noise)
             xc = orig_t * mask + xc * (1.0 - mask)
         return xc, None
 
-    x, _ = jax.lax.scan(body, x, (steps, indices, noises))
+    x, _ = jax.lax.scan(body, x, (steps, indices, per_step))
     return x
