@@ -42,7 +42,7 @@ SITES = {
     "in": (128, 128, 128, 2, 64),        # input head conv
 }
 
-DEFAULT_VARIANTS = "xla_bf16,s2d_bf16,dot_equiv,dot_s2d"
+DEFAULT_VARIANTS = "xla_bf16,s2d_bf16,s2d_entry_bf16,dot_equiv,dot_s2d"
 
 
 def build_variants(site, names):
@@ -77,7 +77,7 @@ def build_variants(site, names):
 
         def body(carry, _):
             y = step_fn(carry)
-            r = jnp.mean(y, axis=-1, keepdims=True).astype(carry.dtype)
+            r = jnp.mean(y).astype(carry.dtype)  # scalar: shape-agnostic
             return carry * 0.5 + r * 1e-3, ()
 
         return x0, body
@@ -110,6 +110,25 @@ def build_variants(site, names):
             return o + bias2.astype(o.dtype)
 
         out["s2d_bf16"] = (*conv_like_scan(s2d_bf16, x2, 2 * cin), conv_flops_per_iter)
+
+    if "s2d_entry_bf16" in names:
+        # normal-layout input -> FOLDED output (ops/s2d.py s2d_entry_kernel):
+        # only 4/3x MACs (vs the fully-folded conv's 2x) at full 2*Co output
+        # lanes — the candidate for a hybrid in_conv
+        from polyffusion_tpu.ops.s2d import s2d_entry_kernel
+
+        wk_e = s2d_entry_kernel(wk)
+
+        def s2d_entry(t):
+            y = t.astype(jnp.float32) * a[:, None, None, :] + off[:, None, None, :]
+            y = (y * jax.nn.sigmoid(y)).astype(t.dtype)
+            o = jax.lax.conv_general_dilated(
+                y, wk_e, (1, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return o
+
+        out["s2d_entry_bf16"] = (*conv_like_scan(s2d_entry, x, cin), conv_flops_per_iter)
 
     if "dot_equiv" in names:
         # same M*K*N as the conv, M scaled down 8x to fit HBM comfortably;
