@@ -108,6 +108,78 @@ def _einsum_reference_packed(q, k, v, scale, n_heads):
     return o.reshape(b, t, hd).astype(q.dtype)
 
 
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                       *, scale: float, n_heads: int):
+    """Flash-style backward: one grid step = one batch item, heads lane-sliced.
+
+    Recomputes the fp32 softmax on-chip (cheaper than saving the (T, T)
+    probabilities to HBM) and produces all three grads with five MXU matmuls.
+    Nothing quadratic in T ever leaves VMEM — the XLA recompute path this
+    replaces materialized (B, H, T, T) logits THREE times per site in the train
+    step plus (B,T,H,D)<->(B,H,T,D) layout copies (profiled at ~19% of the
+    flagship train step)."""
+    t, hd = q_ref.shape[1], q_ref.shape[2]
+    d = hd // n_heads
+    for h in range(n_heads):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl]  # (T, D)
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (T, T) fp32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pc = p.astype(q.dtype)  # matmul dtype; fp32 path stays exact
+        # dv = p^T @ do
+        dv = jax.lax.dot_general(
+            pc, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dp = do @ v^T
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # softmax VJP: ds = p * (dp - rowsum(dp * p)), then the scale factor
+        dsum = jnp.sum(dp * pc, axis=-1, keepdims=True)
+        ds = (pc * (dp - dsum) * scale).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _pallas_attention_packed_bwd(q, k, v, do, scale, n_heads, interpret):
+    b, t, hd = q.shape
+    d = hd // n_heads
+    spec = pl.BlockSpec((1, t, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b, t, hd), q.dtype)
+    return pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, scale=scale, n_heads=n_heads),
+        out_shape=(shape, shape, shape),
+        grid=(b,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * n_heads * t * t * d,
+            bytes_accessed=7 * b * t * hd * q.dtype.itemsize,
+            transcendentals=b * n_heads * t * t,
+        ),
+        interpret=interpret,
+    )(q, k, v, do)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _fused_packed(q, k, v, scale, n_heads, interpret):
     return _pallas_attention_packed(q, k, v, scale, n_heads, interpret)
@@ -119,10 +191,7 @@ def _fused_packed_fwd(q, k, v, scale, n_heads, interpret):
 
 def _fused_packed_bwd(scale, n_heads, interpret, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: _einsum_reference_packed(q, k, v, scale, n_heads), q, k, v
-    )
-    return vjp(g)
+    return _pallas_attention_packed_bwd(q, k, v, g, scale, n_heads, interpret)
 
 
 _fused_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
@@ -140,7 +209,8 @@ def fused_self_attention_packed(
 ) -> jnp.ndarray:
     """(B, T, H*D) packed self-attention; heads sliced in VMEM.
 
-    Differentiable (recomputing custom VJP through the einsum reference)."""
+    Differentiable: custom VJP runs a flash-style Pallas backward that
+    recomputes the softmax on-chip (``_packed_bwd_kernel``)."""
     return _fused_packed(q, k, v, scale, n_heads, interpret)
 
 

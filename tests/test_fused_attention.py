@@ -114,3 +114,69 @@ def test_packed_kernel_matches_reference():
         lambda q: jnp.sum(_einsum_reference_packed(q, k, v, scale, nh) ** 2)
     )(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4)
+
+
+@pytest.mark.parametrize("b,t,nh,d", [(2, 256, 4, 64), (1, 1024, 4, 64)])
+def test_packed_pallas_backward_full_grads_fp32(b, t, nh, d):
+    """The flash-style Pallas backward must match the einsum VJP for q, k, AND v."""
+    from polyffusion_tpu.ops.fused_attention import (
+        _einsum_reference_packed,
+        fused_self_attention_packed,
+    )
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((b, t, nh * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, nh * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, nh * d)), jnp.float32)
+    co = jnp.asarray(rng.standard_normal((b, t, nh * d)), jnp.float32)
+    scale = d**-0.5
+
+    def loss_fused(q, k, v):
+        return jnp.sum(co * fused_self_attention_packed(q, k, v, scale, nh, interpret=True))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(co * _einsum_reference_packed(q, k, v, scale, nh))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, err_msg=f"d{name}"
+        )
+
+
+def test_packed_pallas_backward_bf16_close():
+    """bf16 training path: kernel grads within bf16 resolution of the fp32 VJP."""
+    from polyffusion_tpu.ops.fused_attention import (
+        _einsum_reference_packed,
+        fused_self_attention_packed,
+    )
+
+    rng = np.random.default_rng(6)
+    b, t, nh, d = 2, 256, 4, 64
+    q32 = rng.standard_normal((b, t, nh * d)).astype(np.float32)
+    k32 = rng.standard_normal((b, t, nh * d)).astype(np.float32)
+    v32 = rng.standard_normal((b, t, nh * d)).astype(np.float32)
+    scale = d**-0.5
+
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(
+            fused_self_attention_packed(q, k, v, scale, nh, interpret=True)
+            .astype(jnp.float32) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(
+        jnp.asarray(q32, jnp.bfloat16),
+        jnp.asarray(k32, jnp.bfloat16),
+        jnp.asarray(v32, jnp.bfloat16),
+    )
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(
+            _einsum_reference_packed(q, k, v, scale, nh).astype(jnp.float32) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(jnp.asarray(q32), jnp.asarray(k32), jnp.asarray(v32))
+    for name, a, b_ in zip("qkv", gf, gr):
+        err = np.abs(np.asarray(a, np.float32) - np.asarray(b_))
+        denom = max(1.0, np.abs(np.asarray(b_)).max())
+        assert err.max() / denom < 0.06, (name, err.max(), denom)
