@@ -88,11 +88,40 @@ def convert(kind: str, input_path: str):
     raise ValueError(f"unknown kind: {kind}")
 
 
+def init_txt_enc(seed: int, emb_size=256, hidden_dim=1024, z_dim=256, num_channel=10):
+    """Random-init TextureEncoder params in polydis.npz layout.
+
+    The reference's texture conditioning uses the rhy_encoder of a pretrained
+    PolyDis download (``/root/reference/polyffusion/train/__init__.py`` wiring);
+    when those weights are unavailable, a FROZEN random encoder is still a
+    deterministic injective-enough projection of the rhythm content, so the
+    diffusion model trains against it the same way — document runs that use
+    this as 'random frozen texture encoder'."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.encoders import TextureEncoder
+
+    enc = TextureEncoder(
+        emb_size=emb_size, hidden_dim=hidden_dim, z_dim=z_dim, num_channel=num_channel
+    )
+    params = enc.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 128)))["params"]
+    return {"rhy_encoder": jax.tree.map(np.asarray, params)}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--kind", required=True)
-    p.add_argument("--input", required=True)
+    p.add_argument("--input", default=None)
     p.add_argument("--output", required=True)
+    p.add_argument(
+        "--init",
+        action="store_true",
+        help="write RANDOM-INIT params instead of converting (kind=txt_enc only): "
+        "a frozen random texture encoder for environments without the reference's "
+        "pretrained polydis weights",
+    )
+    p.add_argument("--seed", type=int, default=0, help="--init PRNG seed")
     p.add_argument(
         "--reverse",
         action="store_true",
@@ -102,6 +131,15 @@ def main(argv=None):
     )
     p.add_argument("--model", default=None, help="params preset for --reverse run dirs")
     args = p.parse_args(argv)
+
+    if args.init:
+        assert args.kind == "txt_enc", "--init currently supports kind=txt_enc"
+        tree = init_txt_enc(args.seed)
+        save_params_npz(tree, args.output)
+        print(f"wrote random-init (seed {args.seed}) texture encoder -> {args.output}")
+        return
+    if args.input is None:
+        p.error("--input is required unless --init")
 
     if args.reverse:
         assert args.kind == "unet", "--reverse currently supports kind=unet"

@@ -9,6 +9,9 @@ Experiment types:
     chd_acc    chord CONTROL-FIDELITY sweep: generate at --scales, recognize
                chords back from the output, score vs the conditioning with the
                mir_eval comparison surface (majmin/triads/root/mirex + seg)
+    txt_acc    texture CONTROL-FIDELITY sweep: generate at --scales, score the
+               output's rhythm skeleton / density profile / texture embedding
+               against the conditioning source (+ shuffled-pair chance floors)
 
     python -m polyffusion_tpu.expr --chkpt_path <run dir> --data_dir <npz dir> \
         --type uncond --batch_num 10 --output_dir exp
@@ -194,6 +197,107 @@ def chd_acc(session, task, args):
     return table
 
 
+def _onset_steps(prmat2c_sample: np.ndarray) -> np.ndarray:
+    """(2, n_step, 128) -> (n_step,) onset count per 16th-note step."""
+    return np.rint(np.asarray(prmat2c_sample[0], np.float32)).clip(0, 1).sum(-1)
+
+
+def onset_step_f1(gen: np.ndarray, src: np.ndarray) -> float:
+    """F1 between the pitch-collapsed onset-step sets of two prmat2c images —
+    'does a note start at step t' — the rhythm-skeleton agreement."""
+    g = _onset_steps(gen) > 0
+    s = _onset_steps(src) > 0
+    tot = float(g.sum() + s.sum())
+    if tot == 0:
+        return 1.0
+    return float(2.0 * np.logical_and(g, s).sum() / tot)
+
+
+def density_corr(gen: np.ndarray, src: np.ndarray) -> float:
+    """Pearson r between per-step onset COUNTS (texture density profile);
+    0.0 when either profile is constant (correlation undefined)."""
+    g, s = _onset_steps(gen), _onset_steps(src)
+    if g.std() == 0 or s.std() == 0:
+        return 0.0
+    return float(np.corrcoef(g, s)[0, 1])
+
+
+def _cosine_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    num = (a * b).sum(-1)
+    den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    return num / np.maximum(den, 1e-9)
+
+
+def txt_acc(session, task, args):
+    """Texture CONTROL-FIDELITY sweep — the reference paper's second control
+    axis (texture/rhythm conditioning; generation counterpart reference
+    expr.py:124-160).  For each CFG scale, generate conditioned on the val
+    split's textures and score the output against the conditioning SOURCE:
+
+      onset_f1   rhythm-skeleton F1 (pitch-collapsed onset steps)
+      dens_corr  Pearson r of the per-step onset-count profiles
+      txt_cos    cosine between the model's own texture embeddings
+                 (task.encode_txt) of generated vs source
+
+    plus *_shuf columns: the same metrics against a SHUFFLED pairing of
+    sources — the chance floor.  Metric rising with scale while the shuffled
+    column stays flat == the texture channel causally steers the output.
+    Writes txt_acc.json."""
+    from .utils.reprs import prmat2c_to_prmat
+
+    scales = [float(s) for s in args.scales.split(",")]
+    batches = list(
+        _batches(args.data_dir, args.batch_size, args.batch_num, split_file=args.split_file)
+    )
+    srcs = np.concatenate([np.asarray(b.prmat2c) for b in batches])
+    src_emb = np.concatenate(
+        [
+            np.asarray(task.encode_txt(np.asarray(b.prmat, np.float32)))[:, 0]
+            for b in batches
+        ]
+    )
+    rng = np.random.default_rng(args.seed)
+    perm = rng.permutation(len(srcs))
+    while len(srcs) > 1 and np.any(perm == np.arange(len(srcs))):
+        perm = rng.permutation(len(srcs))
+
+    table = {}
+    for s in scales:
+        gen = []
+        for batch in batches:
+            cond = np.asarray(task.encode_txt(np.asarray(batch.prmat, np.float32)))
+            gen.append(session.predict(cond, uncond_scale=s))
+        gen = np.concatenate(gen)
+        assert len(gen) == len(srcs)
+        gen_prmat = prmat2c_to_prmat(gen, n_step=gen.shape[2]).astype(np.float32)
+        gen_emb = np.asarray(task.encode_txt(gen_prmat))[:, 0]
+        row = {
+            "onset_f1": np.mean([onset_step_f1(g, t) for g, t in zip(gen, srcs)]),
+            "onset_f1_shuf": np.mean(
+                [onset_step_f1(g, t) for g, t in zip(gen, srcs[perm])]
+            ),
+            "dens_corr": np.mean([density_corr(g, t) for g, t in zip(gen, srcs)]),
+            "dens_corr_shuf": np.mean(
+                [density_corr(g, t) for g, t in zip(gen, srcs[perm])]
+            ),
+            "txt_cos": np.mean(_cosine_rows(gen_emb, src_emb)),
+            "txt_cos_shuf": np.mean(_cosine_rows(gen_emb, src_emb[perm])),
+        }
+        table[s] = {k: round(float(v), 4) for k, v in row.items()}
+        print(
+            f"scale {s:>4}: "
+            + "  ".join(f"{k}={table[s][k]:.3f}" for k in row)
+        )
+
+    import json
+
+    out = os.path.join(args.output_dir, "txt_acc.json")
+    with open(out, "w") as f:
+        json.dump({"n_samples": len(srcs), "scales": table}, f, indent=1)
+    print(f"texture control accuracy table -> {out}")
+    return table
+
+
 EXPERIMENTS = {
     "uncond": prompt_generation,
     "inp_below": acc_arrangement,
@@ -201,6 +305,7 @@ EXPERIMENTS = {
     "chd": chd_conditioning,
     "txt": txt_conditioning,
     "chd_acc": chd_acc,
+    "txt_acc": txt_acc,
 }
 
 
@@ -216,7 +321,7 @@ def main(argv=None):
     p.add_argument("--output_dir", default="exp")
     p.add_argument("--uncond_scale", type=float, default=1.0)
     p.add_argument("--scales", default="0,1,3,5",
-                   help="chd_acc: comma-separated CFG scales to sweep")
+                   help="chd_acc/txt_acc: comma-separated CFG scales to sweep")
     p.add_argument("--ddim", action="store_true")
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--repaint_n", type=int, default=1)
@@ -234,7 +339,7 @@ def main(argv=None):
         task, params, use_ddim=args.ddim, ddim_steps=args.ddim_steps,
         repaint_n=args.repaint_n, seed=args.seed,
         # one compiled sampler across the whole scale sweep
-        traced_cfg_scale=(args.type == "chd_acc"),
+        traced_cfg_scale=(args.type in ("chd_acc", "txt_acc")),
     )
     os.makedirs(args.output_dir, exist_ok=True)
     EXPERIMENTS[args.type](session, task, args)

@@ -81,6 +81,91 @@ def test_experiments_run(session_task, data_dir, tmp_path, kind):
     assert any(f.endswith(".mid") for f in os.listdir(tmp_path))
 
 
+def test_txt_acc_metrics_validity():
+    """Metric oracles for expr --type txt_acc: self-comparison is perfect,
+    disjoint rhythms score 0, metrics discriminate shifted rhythms."""
+    roll = np.zeros((2, 128, 128), np.float32)
+    roll[0, ::8, 60] = 1.0  # onsets every half bar
+    roll[0, ::8, 64] = 1.0
+    assert X.onset_step_f1(roll, roll) == 1.0
+    assert X.density_corr(roll, roll) == pytest.approx(1.0)
+
+    shifted = np.zeros_like(roll)
+    shifted[0, 4::8, 60] = 1.0  # same density, offset steps: disjoint skeleton
+    assert X.onset_step_f1(roll, shifted) == 0.0
+
+    empty = np.zeros_like(roll)
+    assert X.onset_step_f1(empty, empty) == 1.0  # both silent: agree
+    assert X.onset_step_f1(roll, empty) == 0.0
+    assert X.density_corr(roll, empty) == 0.0  # undefined -> 0
+
+    # denser-at-the-same-steps still correlates but a permuted profile doesn't
+    denser = roll.copy()
+    denser[0, ::8, 67] = 1.0
+    assert X.density_corr(roll, denser) == pytest.approx(1.0)
+
+
+def test_txt_acc_experiment_runs(data_dir, tmp_path):
+    """txt_acc sweeps scales against a frozen random texture encoder and emits
+    the metric table with shuffled-pair chance-floor columns."""
+    from polyffusion_tpu.models.encoders import TextureEncoder
+
+    enc = TextureEncoder(emb_size=64, hidden_dim=128, z_dim=32, num_channel=10)
+    enc_params = enc.init(jax.random.PRNGKey(7), np.zeros((1, 32, 128), np.float32))[
+        "params"
+    ]
+    cfg = Params({**TINY_CFG, "d_cond": 128, "cond_type": "txt", "use_enc": True})
+    task = SDFTask(cfg, txt_enc=enc, txt_enc_params=enc_params)
+    params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+    session = InferenceSession(
+        task, params, use_ddim=True, ddim_steps=2, traced_cfg_scale=True
+    )
+    args = SimpleNamespace(
+        data_dir=data_dir, split_file=None, batch_size=2, batch_num=1,
+        output_dir=str(tmp_path), uncond_scale=1.0, scales="0,3", seed=0,
+    )
+    table = X.EXPERIMENTS["txt_acc"](session, task, args)
+    assert set(table) == {0.0, 3.0}
+    cols = {"onset_f1", "onset_f1_shuf", "dens_corr", "dens_corr_shuf",
+            "txt_cos", "txt_cos_shuf"}
+    for row in table.values():
+        assert set(row) == cols
+        assert all(np.isfinite(v) for v in row.values())
+        assert 0.0 <= row["onset_f1"] <= 1.0
+    assert len(session._paint_cache) == 1  # one executable for the whole sweep
+    import os
+
+    assert os.path.exists(os.path.join(tmp_path, "txt_acc.json"))
+
+
+def test_convert_init_txt_enc(tmp_path):
+    """--init writes a loadable, deterministic random texture encoder that
+    build_frozen_encoders accepts as polydis.npz."""
+    from polyffusion_tpu.convert.__main__ import load_params_npz, main as convert_main
+
+    out = str(tmp_path / "polydis.npz")
+    convert_main(["--kind", "txt_enc", "--init", "--seed", "3", "--output", out])
+    tree = load_params_npz(out)
+    assert "rhy_encoder" in tree and "cnn" in tree["rhy_encoder"]
+
+    out2 = str(tmp_path / "polydis2.npz")
+    convert_main(["--kind", "txt_enc", "--init", "--seed", "3", "--output", out2])
+    t1, t2 = load_params_npz(out), load_params_npz(out2)
+    np.testing.assert_array_equal(
+        t1["rhy_encoder"]["cnn"]["kernel"], t2["rhy_encoder"]["cnn"]["kernel"]
+    )
+
+    from polyffusion_tpu.models.encoders import build_frozen_encoders
+
+    cfg = Params({**TINY_CFG, "cond_type": "txt", "use_enc": True, "d_cond": 1024})
+    kw = build_frozen_encoders(cfg, str(tmp_path))
+    assert "txt_enc" in kw and "txt_enc_params" in kw
+    mu, std = kw["txt_enc"].apply(
+        {"params": kw["txt_enc_params"]}, np.zeros((2, 32, 128), np.float32)
+    )
+    assert mu.shape == (2, 256) and np.isfinite(np.asarray(mu)).all()
+
+
 def test_show_image(tmp_path):
     from polyffusion_tpu.utils.image import show_image
 
