@@ -87,6 +87,15 @@ class FP32GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
+        if x2 is None and not self.folded and not return_affine and x.ndim == 4:
+            from ..ops.gn_bwd import group_norm_affine, use_pallas_gn_bwd
+
+            if use_pallas_gn_bwd(x):
+                # identical primal (same one-pass math, same expression order);
+                # only the VJP differs — a single-pass Pallas backward instead
+                # of XLA's multi-pass GN gradient (ops/gn_bwd.py)
+                return group_norm_affine(x, scale, bias, g, self.epsilon)
+
         # One-pass statistics via per-CHANNEL partial sums, staying 4-D throughout:
         # 5-D group reshapes force TPU layout copies (a transpose-while showed up
         # in profiles), and two-pass (x-mean)^2 variance reads the activation

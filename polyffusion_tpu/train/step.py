@@ -73,6 +73,7 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None):
         # (tracing happens inside), so jit programs tracing concurrently in
         # other threads (eval/serve) are unaffected.
         from ..ops.attention import fused_attention_override
+        from ..ops.gn_bwd import pallas_gn_bwd_override
         from ..parallel.tp import infer_tp_sharding
 
         def tp_jit(state_template):
@@ -90,7 +91,7 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None):
             key = jax.tree_util.tree_structure(state)
             if key not in compiled:
                 compiled[key] = tp_jit(state)
-            with fused_attention_override(False):
+            with fused_attention_override(False), pallas_gn_bwd_override(False):
                 return compiled[key](state, batch, rng, sched_vals)
 
         return dispatch
