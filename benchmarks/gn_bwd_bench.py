@@ -14,6 +14,13 @@ relay), timings from the xplane trace.  Reported rate is effective GB/s over
 the MINIMUM traffic (x + dy + dx), so the HBM roofline (~819 GB/s on v5e) is
 the visible ceiling.
 
+Fairness note: ``x`` is fed as a per-iteration scanned input (a stack of
+distinct arrays), NOT a closed-over constant — with constant x, XLA hoists
+every x-only pass (notably x_hat) out of the loop and the "xla_vjp" rate
+reads above the HBM roofline (1.7 TB/s was measured), which the opaque Pallas
+call can never match.  The decisive number is still the full train-step A/B
+(benchmarks/profile_train.py), where x is fresh every step for both.
+
     python benchmarks/gn_bwd_bench.py [--site gn0a] [--iters 30]
 """
 
@@ -55,27 +62,42 @@ def build_variants(site, names):
     out = {}
 
     def feedback(dx, carry):
-        r = jnp.mean(dx).astype(carry.dtype)
-        return carry * 0.5 + r * 1e-3
+        # carry = dx: a scalar-broadcast feedback (carry*0.5 + mean*1e-3) keeps
+        # the carry AFFINE in dy0 with scalar coefficients, so XLA hoists the
+        # base reductions out of the loop; dx as the next dy is a full-rank
+        # linear map that changes with x_i — nothing hoists
+        return dx.astype(carry.dtype)
+
+    # distinct x per scan iteration (see module docstring: constant x lets XLA
+    # hoist all x-only passes and invalidates the comparison); stats stay
+    # those of x — harmless for timing
+    def xs_stack(iters):
+        deltas = jnp.asarray(
+            rng.standard_normal((iters, 1, 1, 1, c)) * 1e-3, jnp.bfloat16
+        )
+        return x[None] + deltas  # (iters, B, H, W, C), unique buffers
 
     if "xla_vjp" in names:
-        _, vjp_fn = jax.vjp(
-            lambda x, s, bb: _gn_primal(x, s, bb, g, eps)[0], x, scale, bias
-        )
+        # backward-only with precomputed stats (_gna_bwd) — the same residuals
+        # autodiff of the real step hands XLA; a jax.vjp here would also re-run
+        # the forward, overcharging XLA by one pass over x
+        from polyffusion_tpu.ops.gn_bwd import _gna_bwd
 
-        def body(carry, _):
-            dx, dg, db = vjp_fn(carry)
+        def body(carry, x_i):
+            dx, dg, db = _gna_bwd(g, eps, (x_i, scale, mean_c, inv_c), carry)
             return feedback(dx + 0 * jnp.mean(dg + db).astype(dx.dtype), carry), ()
 
         out["xla_vjp"] = (dy0, body, min_bytes)
 
     if "pallas" in names:
-        def body_p(carry, _):
-            dx, dgb, dbb = gn_bwd_pallas(x, carry, mean_c, inv_c, scale, g)
+
+        def body_p(carry, x_i):
+            dx, dgb, dbb = gn_bwd_pallas(x_i, carry, mean_c, inv_c, scale, g)
             return feedback(dx + 0 * jnp.mean(dgb + dbb).astype(dx.dtype), carry), ()
 
         out["pallas"] = (dy0, body_p, min_bytes)
 
+    out["_xs_stack"] = xs_stack
     return out
 
 
@@ -87,17 +109,18 @@ def run(site, iters, outdir, names):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     variants = build_variants(site, names)
+    xs = variants.pop("_xs_stack")(iters)  # (iters, B, H, W, C) streamed x
     compiled, inputs = {}, {}
     for name, (x0, body, _) in variants.items():
         compiled[name] = jax.jit(
-            lambda x0, body=body: jax.lax.scan(body, x0, None, length=iters)[0]
+            lambda x0, xs, body=body: jax.lax.scan(body, x0, xs)[0]
         )
         inputs[name] = x0
-        compiled[name](x0).block_until_ready()
+        compiled[name](x0, xs).block_until_ready()
 
     with jax.profiler.trace(outdir):
         for name in variants:
-            compiled[name](inputs[name]).block_until_ready()
+            compiled[name](inputs[name], xs).block_until_ready()
 
     report(outdir, site, iters, {n: v[2] for n, v in variants.items()})
 

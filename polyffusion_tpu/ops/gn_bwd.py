@@ -2,15 +2,24 @@
 
 The UNet's GroupNorm forward is plain XLA (one-pass channel sums — see
 ``models/unet.py AdaGroupNorm``; XLA fuses it into the neighbouring convs,
-which a Pallas *forward* kernel was measured to break in round 2).  The
-BACKWARD is a different story: the train profile shows the GN-grad fusions
-(dx + the dgamma/dbeta reductions over (B, H, W, C) activations) running at
-~1/3 of HBM speed-of-light — XLA emits them as several separate passes over
-the activation.  This module keeps the forward exactly as the module computes
-it (bit-identical primal, fusion-friendly) and swaps only the VJP for a
+which a Pallas *forward* kernel was measured to break in round 2).  This
+module keeps the forward exactly as the module computes it (bit-identical
+primal, fusion-friendly) and swaps only the VJP for a
 single-grid-step-per-batch-item Pallas kernel: x and dy are read from HBM
-once, all reductions (dbeta, dgamma, and the two per-group softmax-free GN
-sums) and the dx epilogue happen in VMEM.
+once, all reductions (dbeta, dgamma, and the two per-group GN sums) and the
+dx epilogue happen in VMEM.
+
+VERDICT (round 3, benchmarks/gn_bwd_bench.py on-device, hoisting-proof
+harness): **measured LOSS — stays opt-in.**  XLA's analytic backward runs at
+the HBM roofline at every UNet GN site (838-1070 GB/s effective over the
+x+dy+dx minimum), i.e. XLA does NOT emit extra passes once the bench denies
+it loop-invariant hoisting; this kernel reaches only 169-680 GB/s (the
+C=64/128 channel minors half-fill the 128-lane vregs and the arithmetic is
+VPU-bound fp32).  In the real step XLA can additionally fuse the dx epilogue
+into the consuming conv backward, which an opaque pallas_call forbids.  The
+train-profile observation that motivated this (GN-grad *fusions* at ~1/3 of
+HBM speed-of-light) was evidently about the neighbouring conv/elementwise
+work those fusions carry, not the GN math itself.
 
 Gradient math (standard GroupNorm VJP, per batch item b and group g):
     x_hat = (x - mean_g) * inv_g
@@ -67,19 +76,27 @@ def _gn_bwd_kernel(
     invc = invc_ref[0, 0]    # (C,) fp32
     gamma = gamma_ref[0, 0]  # (C,) fp32
 
-    db = jnp.zeros((1, c), jnp.float32)
-    dg = jnp.zeros((1, c), jnp.float32)
-    s1 = jnp.zeros((1, c), jnp.float32)
-    s2 = jnp.zeros((1, c), jnp.float32)
-    for h0 in range(0, h, chunk):
-        xs = x_ref[0, h0 : h0 + chunk].astype(jnp.float32)   # (chunk, W, C)
-        dys = dy_ref[0, h0 : h0 + chunk].astype(jnp.float32)
+    # H is walked in chunks via fori_loop (NOT an unrolled Python loop: Mosaic
+    # stack-allocates each unrolled body's temporaries separately, which blew
+    # the 16 MB scoped-vmem limit at the 128x128 sites).
+    def sums_body(i, carry):
+        db, dg, s1, s2 = carry
+        sl = pl.ds(i * chunk, chunk)
+        xs = x_ref[0, sl].astype(jnp.float32)   # (chunk, W, C)
+        dys = dy_ref[0, sl].astype(jnp.float32)
         xh = (xs - mean[None, None, :]) * invc[None, None, :]
         dyg = dys * gamma[None, None, :]
-        db = db + jnp.sum(dys, (0, 1))[None]
-        dg = dg + jnp.sum(dys * xh, (0, 1))[None]
-        s1 = s1 + jnp.sum(dyg, (0, 1))[None]
-        s2 = s2 + jnp.sum(dyg * xh, (0, 1))[None]
+        return (
+            db + jnp.sum(dys, (0, 1))[None],
+            dg + jnp.sum(dys * xh, (0, 1))[None],
+            s1 + jnp.sum(dyg, (0, 1))[None],
+            s2 + jnp.sum(dyg * xh, (0, 1))[None],
+        )
+
+    zeros = jnp.zeros((1, c), jnp.float32)
+    db, dg, s1, s2 = jax.lax.fori_loop(
+        0, h // chunk, sums_body, (zeros, zeros, zeros, zeros)
+    )
 
     # fold the per-channel S sums into per-group values, repeated back to (C,).
     # Mosaic cannot shape-cast across the lane dim, so the segment-sum is a
@@ -99,13 +116,19 @@ def _gn_bwd_kernel(
     s1g = group_fold(s1) * (1.0 / n_g)
     s2g = group_fold(s2) * (1.0 / n_g)
 
-    for h0 in range(0, h, chunk):
-        xs = x_ref[0, h0 : h0 + chunk].astype(jnp.float32)
-        dys = dy_ref[0, h0 : h0 + chunk].astype(jnp.float32)
+    def dx_body(i, _):
+        sl = pl.ds(i * chunk, chunk)
+        xs = x_ref[0, sl].astype(jnp.float32)
+        dys = dy_ref[0, sl].astype(jnp.float32)
         xh = (xs - mean[None, None, :]) * invc[None, None, :]
         dyg = dys * gamma[None, None, :]
-        dx = invc[None, None, :] * (dyg - (s1g[0][None, None, :] + xh * s2g[0][None, None, :]))
-        dx_ref[0, h0 : h0 + chunk] = dx.astype(dx_ref.dtype)
+        dx = invc[None, None, :] * (
+            dyg - (s1g[0][None, None, :] + xh * s2g[0][None, None, :])
+        )
+        dx_ref[0, sl] = dx.astype(dx_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, h // chunk, dx_body, 0)
 
     dgb_ref[0, 0] = dg[0]
     dbb_ref[0, 0] = db[0]
@@ -116,7 +139,10 @@ def gn_bwd_pallas(x, dy, mean_c, inv_c, gamma, num_groups, *, interpret=False):
 
     Caller sums the (B, C) partials over B (tiny) for the parameter grads."""
     b, h, w, c = x.shape
-    chunk = max(8, min(h, (2 * 2**20) // max(1, 4 * w * c)))  # ~2 MB fp32 temps
+    # ~1 MB per fp32 temporary (a handful are live inside a loop body; fits
+    # comfortably under the kernel's 32 MB scoped-vmem ceiling, and larger
+    # chunks keep the VPU fed — chunk=8 measured 2.4x slower than chunk=16)
+    chunk = max(8, min(h, (2**20) // max(1, 4 * w * c)))
     while h % chunk:
         chunk -= 1
     # Per-channel vectors ride as (B, 1, C) / (1, 1, C): Mosaic requires the
@@ -140,6 +166,9 @@ def gn_bwd_pallas(x, dy, mean_c, inv_c, gamma, num_groups, *, interpret=False):
             bytes_accessed=3 * b * h * w * c * x.dtype.itemsize,
             transcendentals=0,
         ),
+        # double-buffered x/dy/dx blocks alone are 12 MB at the 128x128x64
+        # sites; the default 16 MB scoped-vmem limit measured 32 KB short
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(
         x,
@@ -196,8 +225,11 @@ def use_pallas_gn_bwd(x) -> bool:
     if x.ndim != 4:
         return False
     b, h, w, c = x.shape
-    # x + dy + dx resident per grid step; stay well under VMEM
-    return c % 64 == 0 and (3 * h * w * c * x.dtype.itemsize) <= 12 * 2**20
+    # x + dy + dx blocks are double-buffered across grid steps (6 buffers) plus
+    # loop temporaries, against the kernel's 32 MB scoped-vmem ceiling: 4 MB
+    # per-item blocks (bf16 128x128x128) fit with ~6 MB headroom; anything
+    # larger keeps the XLA fallback.
+    return c % 64 == 0 and (h * w * c * x.dtype.itemsize) <= 4 * 2**20
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
