@@ -100,10 +100,13 @@ class Trainer:
         # optional parameter EMA (config: ema_decay, e.g. 0.9999); sampled from
         # at inference with --use_ema
         self.ema_decay = cfg.get("ema_decay", None)
+        # ZeRO-3 state sharding over dp (parallel/fsdp.py); config: fsdp: true
+        self.fsdp = bool(cfg.get("fsdp", False)) and mesh is not None
         self.train_step = make_train_step(
-            task, self.optimizer, mesh, sched_keys, ema_decay=self.ema_decay
+            task, self.optimizer, mesh, sched_keys, ema_decay=self.ema_decay,
+            fsdp=self.fsdp,
         )
-        self.eval_step = make_eval_step(task, mesh, sched_keys)
+        self.eval_step = make_eval_step(task, mesh, sched_keys, fsdp=self.fsdp)
 
         self.manager = ocp.CheckpointManager(
             self.ckpt_dir,
@@ -206,7 +209,12 @@ class Trainer:
         if resume:
             state = self.try_restore(state)
         if self.mesh is not None:
-            state = jax.device_put(state, replicated(self.mesh))
+            if self.fsdp:
+                from ..parallel.fsdp import infer_fsdp_sharding
+
+                state = jax.device_put(state, infer_fsdp_sharding(state, self.mesh))
+            else:
+                state = jax.device_put(state, replicated(self.mesh))
 
         max_epoch = int(self.cfg.get("max_epoch", 1))
         start_step = int(state.step)

@@ -19,7 +19,7 @@ from ..parallel.mesh import batch_sharding, replicated
 from .state import TrainState
 
 
-def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None):
+def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None, fsdp=False):
     """Build the jitted training step for a Task.
 
     Returns ``step_fn(state, batch, rng, sched_vals) -> (state, metrics)`` where
@@ -29,6 +29,10 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None):
     ``ema_decay``: when set (and ``state.ema`` is populated), the step also
     maintains an exponential moving average of the parameters in the same
     fused XLA program.
+
+    ``fsdp``: ZeRO-3 state sharding over the ``dp`` axis (parallel/fsdp.py) —
+    params/moments/EMA sharded instead of replicated; GSPMD inserts the weight
+    all-gathers and gradient reduce-scatters.
     """
 
     def step(state: TrainState, batch, rng, sched_vals):
@@ -96,6 +100,32 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None):
 
         return dispatch
 
+    if fsdp:
+        # ZeRO-3: state shardings are a per-leaf function of the actual state
+        # structure, so resolve lazily at the first call (same dispatch pattern
+        # as tp above).  The Pallas kernels stay enabled — their operands are
+        # batch-sharded activations exactly as in the replicated dp step.
+        from ..parallel.fsdp import infer_fsdp_sharding
+
+        def fsdp_jit(state_template):
+            state_sh = infer_fsdp_sharding(state_template, mesh)
+            return jax.jit(
+                step,
+                donate_argnums=(0,),
+                in_shardings=(state_sh, bsh, rep, rep),
+                out_shardings=(state_sh, rep),
+            )
+
+        compiled_fsdp = {}
+
+        def dispatch_fsdp(state, batch, rng, sched_vals):
+            key = jax.tree_util.tree_structure(state)
+            if key not in compiled_fsdp:
+                compiled_fsdp[key] = fsdp_jit(state)
+            return compiled_fsdp[key](state, batch, rng, sched_vals)
+
+        return dispatch_fsdp
+
     state_sh = rep  # params + opt state replicated (dp-only: fastest at this size)
     return jax.jit(
         step,
@@ -105,8 +135,11 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None):
     )
 
 
-def make_eval_step(task, mesh=None, sched_keys=()):
-    """Deterministic eval step: fixed rng stream, no CFG dropout randomness beyond it."""
+def make_eval_step(task, mesh=None, sched_keys=(), fsdp=False):
+    """Deterministic eval step: fixed rng stream, no CFG dropout randomness beyond it.
+
+    ``fsdp``: inherit the params' resident (ZeRO-3) shardings instead of
+    forcing a replication gather before every validation pass."""
 
     def step(params, batch, rng, sched_vals):
         sched_params = dict(zip(sched_keys, sched_vals))
@@ -116,4 +149,5 @@ def make_eval_step(task, mesh=None, sched_keys=()):
     if mesh is None:
         return jax.jit(step)
     bsh, rep = batch_sharding(mesh), replicated(mesh)
-    return jax.jit(step, in_shardings=(rep, bsh, rep, rep), out_shardings=rep)
+    params_sh = None if fsdp else rep  # None = keep the argument's sharding
+    return jax.jit(step, in_shardings=(params_sh, bsh, rep, rep), out_shardings=rep)
