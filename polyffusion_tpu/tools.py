@@ -109,8 +109,39 @@ _QUALITY_TONES = {
     "maj7": (0, 4, 7, 11), "min7": (0, 3, 7, 10),
 }
 
+# per-song texture archetypes (``vary_texture=True``): every combination is a
+# distinct rhythm skeleton / density, while every note stays a chord tone —
+# between-song texture variance is what ``expr --type txt_acc`` needs to
+# detect (with the default homogeneous corpus, matched and shuffled pairings
+# score identically and the metric is blind)
+_MELODY_STYLES = {  # (onset step within bar, duration) lists, 16 bins/bar
+    "eighth_arp": [(2 * k, 2) for k in range(8)],
+    "sixteenth_run": [(k, 1) for k in range(16)],
+    "quarter": [(4 * k, 4) for k in range(4)],
+    "sparse_long": [(0, 8), (8, 8)],
+    "syncopated": [(0, 2), (3, 1), (6, 2), (10, 2), (14, 2)],
+}
+_COMP_STYLES = {  # beats (4 per bar) carrying a block chord, with duration
+    "beats_1_3": [(0, 8), (2, 8)],
+    "every_beat": [(0, 4), (1, 4), (2, 4), (3, 4)],
+    "offbeats": [(1, 4), (3, 4)],
+    "sustained": [(0, 16)],
+    "none": [],
+}
+_BASS_STYLES = {  # (onset step, duration, octave offset) per bar
+    "half_bar": [(0, 8, 0), (8, 8, 12)],
+    "quarter_pulse": [(0, 4, 0), (4, 4, 0), (8, 4, 12), (12, 4, 0)],
+    "whole_bar": [(0, 16, 0)],
+}
 
-def synth_corpus(out_dir: str, n_songs: int = 64, n_bars: int = 32, seed: int = 0):
+
+def synth_corpus(
+    out_dir: str,
+    n_songs: int = 64,
+    n_bars: int = 32,
+    seed: int = 0,
+    vary_texture: bool = False,
+):
     """Write a synthetic corpus with REAL harmonic structure: every note is a
     chord tone of a labeled diatonic progression, so chord conditioning is
     perfectly learnable and the chord matrices are exact ground truth.
@@ -121,6 +152,12 @@ def synth_corpus(out_dir: str, n_songs: int = 64, n_bars: int = 32, seed: int = 
     chord-conditioned model whose control fidelity ``expr --type chd_acc``
     measures (the reference paper's quality metric, on data this environment
     can actually provide).
+
+    ``vary_texture=True``: each song additionally draws a texture archetype
+    (melody rhythm x comping pattern x bass pulse, 75 combinations) so rhythm
+    skeleton and density VARY between songs — required for the texture
+    control-fidelity sweep (``expr --type txt_acc``), whose shuffled-pair
+    chance floor is only meaningful when textures differ across the corpus.
     """
     from .chord.encode import encode_to_absolute_row
     from .chord.templates import NUM_TO_ABS_SCALE
@@ -138,22 +175,37 @@ def synth_corpus(out_dir: str, n_songs: int = 64, n_bars: int = 32, seed: int = 
                 chords.append(((key + off) % 12, quality))
         chords = chords[:n_bars]
 
+        if vary_texture:
+            mel_pat = list(_MELODY_STYLES.values())[
+                int(rng.integers(0, len(_MELODY_STYLES)))
+            ]
+            comp_pat = list(_COMP_STYLES.values())[
+                int(rng.integers(0, len(_COMP_STYLES)))
+            ]
+            bass_pat = list(_BASS_STYLES.values())[
+                int(rng.integers(0, len(_BASS_STYLES)))
+            ]
+        else:
+            mel_pat = _MELODY_STYLES["eighth_arp"]
+            comp_pat = _COMP_STYLES["beats_1_3"]
+            bass_pat = _BASS_STYLES["half_bar"]
+
         melody, bridge, bass = [], [], []
         for bar, (root, quality) in enumerate(chords):
             t0 = bar * 16  # 16 sixteenth-bins per bar
             tones = _QUALITY_TONES[quality]
-            # melody: eighth-note arpeggio over chord tones, octave 5
+            # melody: chord-tone line in octave 5, rhythm from the style
             order = rng.permutation(len(tones))
-            for k in range(8):
+            for k, (step, dur) in enumerate(mel_pat):
                 pitch = 72 + root % 12 + tones[order[k % len(tones)]]
-                melody.append([t0 + 2 * k, int(pitch), 2, 90, 0])
-            # bridge: block chord on beats 1 and 3, octave 4
-            for beat in (0, 2):
+                melody.append([t0 + step, int(pitch), dur, 90, 0])
+            # bridge: block chords in octave 4, comping pattern from the style
+            for beat, dur in comp_pat:
                 for iv in tones:
-                    bridge.append([t0 + 4 * beat, 60 + root + iv, 8, 80, 0])
-            # bass: root on every half bar, octave 2/3
-            bass.append([t0, 36 + root, 8, 85, 0])
-            bass.append([t0 + 8, 48 + root, 8, 85, 0])
+                    bridge.append([t0 + 4 * beat, 60 + root + iv, dur, 80, 0])
+            # bass: roots in octave 2/3, pulse from the style
+            for step, dur, oct_off in bass_pat:
+                bass.append([t0 + step, 36 + root + oct_off, dur, 85, 0])
 
         rows = []
         for root, quality in chords:
@@ -164,7 +216,10 @@ def synth_corpus(out_dir: str, n_songs: int = 64, n_bars: int = 32, seed: int = 
         n_bins = n_bars * 16
         db_pos = np.arange(0, n_bins, 16)
         filt = db_pos + 128 <= n_bins
-        tracks = [np.array(t, dtype=np.int64) for t in (melody, bridge, bass)]
+        tracks = [
+            np.array(t, dtype=np.int64).reshape(-1, 5)  # empty -> (0, 5)
+            for t in (melody, bridge, bass)
+        ]
         write_song_npz(
             os.path.join(out_dir, f"synth_{song_i:03d}.npz"),
             tracks, chord_mat, db_pos, filt, n_beats=n_bars * 4,
@@ -231,6 +286,8 @@ def main(argv=None):
     p4.add_argument("--n_songs", type=int, default=64)
     p4.add_argument("--n_bars", type=int, default=32)
     p4.add_argument("--seed", type=int, default=0)
+    p4.add_argument("--vary_texture", action="store_true",
+                    help="per-song texture archetypes (for expr --type txt_acc)")
     args = p.parse_args(argv)
     if args.cmd == "pop909_import":
         pop909_import(args.origin, args.out)
@@ -239,7 +296,8 @@ def main(argv=None):
     elif args.cmd == "remove_from_split":
         remove_from_split(args.split, args.song)
     elif args.cmd == "synth_corpus":
-        synth_corpus(args.out, args.n_songs, args.n_bars, args.seed)
+        synth_corpus(args.out, args.n_songs, args.n_bars, args.seed,
+                     vary_texture=args.vary_texture)
 
 
 if __name__ == "__main__":

@@ -433,3 +433,34 @@ def test_chd_acc_experiment_runs(session_task, data_dir, tmp_path):
     import os
 
     assert os.path.exists(os.path.join(tmp_path, "chd_acc.json"))
+
+
+def test_synth_corpus_vary_texture_diversifies_rhythm(tmp_path):
+    """vary_texture must produce between-song rhythm-skeleton variance —
+    without it, txt_acc's matched and shuffled pairings are indistinguishable
+    (measured: identical scores on the homogeneous corpus)."""
+    from polyffusion_tpu.data.dataset import SegmentDataset
+    from polyffusion_tpu.expr import onset_step_f1
+    from polyffusion_tpu.tools import synth_corpus
+
+    d_plain, d_vary = str(tmp_path / "plain"), str(tmp_path / "vary")
+    synth_corpus(d_plain, n_songs=8, n_bars=8, seed=0, vary_texture=False)
+    synth_corpus(d_vary, n_songs=8, n_bars=8, seed=0, vary_texture=True)
+
+    def first_segments(d):
+        # one 8-bar prmat2c per song
+        return [song[0][0] for song in SegmentDataset.from_dir(d).songs]
+
+    def cross_f1(segs):
+        vals = []
+        for i in range(len(segs)):
+            for j in range(i + 1, len(segs)):
+                vals.append(onset_step_f1(segs[i], segs[j]))
+        return float(np.mean(vals))
+
+    plain, vary = first_segments(d_plain), first_segments(d_vary)
+    f1_plain, f1_vary = cross_f1(plain), cross_f1(vary)
+    # homogeneous corpus: every song shares the same onset skeleton
+    assert f1_plain > 0.95, f1_plain
+    # varied corpus: cross-song rhythm overlap drops substantially
+    assert f1_vary < 0.8, (f1_plain, f1_vary)
