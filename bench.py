@@ -50,6 +50,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_REFERENCE_SAMPLES_PER_SEC = 2.0  # defended in BASELINE.md "A100 baseline derivation"
 ROUND1_TRAIN_STEP_MS = 65.7  # measured round-1 train-step baseline (BENCH history)
+# v5e bf16 MXU peak — the ONE definition; benchmarks/profile_train.py imports
+# it so bench's `mfu` and the profiler's MXU% can never disagree
+PEAK_BF16_TFLOPS = 197.0
+
+
+def executable_flops(lowered) -> float:
+    """XLA cost-analysis FLOPs of a lowered jit call (list/dict API tolerant)."""
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost["flops"])
 
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 DDIM_STEPS = 50
@@ -217,14 +228,11 @@ def main_train():
     n_iters = int(os.environ.get("BENCH_ITERS", "5"))
     med, spread = _measure(one_iter, n_iters)
     dt = med / steps_per_iter
-    # model FLOP utilization of the measured executable (bf16 peak 197 TFLOP/s,
-    # v5e — TODO.md speed-of-light arithmetic); best-effort
+    # model FLOP utilization of the measured executable; best-effort
     mfu = None
     try:
-        cost = train_step.lower(state, tuple(batch), rng, ()).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        mfu = round(float(cost["flops"]) / dt / 197e12, 4)
+        flops = executable_flops(train_step.lower(state, tuple(batch), rng, ()))
+        mfu = round(flops / dt / (PEAK_BF16_TFLOPS * 1e12), 4)
     except Exception:
         pass
     print(
@@ -358,9 +366,19 @@ def main_inpaint():
 
 if __name__ == "__main__":
     dispatch = {
+        "": main,  # default: the headline DDIM-50+CFG sampling workload
+        "headline": main,
         "train": main_train,
         "ddpm1000": main_ddpm1000,
         "autoreg": main_autoreg,
         "inpaint": main_inpaint,
     }
-    dispatch.get(os.environ.get("BENCH_METRIC", ""), main)()
+    metric = os.environ.get("BENCH_METRIC", "")
+    if metric not in dispatch:
+        # a typo (e.g. ddpm-1000) silently benching the 13.7-samples/s
+        # headline under the wrong name would poison the records
+        raise SystemExit(
+            f"unknown BENCH_METRIC {metric!r}; choose one of "
+            f"{sorted(k for k in dispatch if k)}"
+        )
+    dispatch[metric]()

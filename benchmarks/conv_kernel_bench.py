@@ -25,7 +25,6 @@ the default variants.
 """
 
 import argparse
-import glob
 import json
 import os
 import sys
@@ -65,7 +64,7 @@ def build_variants(site, names):
 
     out = {}
 
-    def conv_like_scan(step_fn, x0, cin_eff):
+    def conv_like_scan(step_fn, x0):
         """step: y=f(carry); feed back via a channel-mean broadcast.
 
         The old channel-TILING feedback (concat y x9 to refill the contraction
@@ -92,7 +91,7 @@ def build_variants(site, names):
             )
             return o + bias.astype(o.dtype)
 
-        out["xla_bf16"] = (*conv_like_scan(xla_bf16, x, cin), conv_flops_per_iter)
+        out["xla_bf16"] = (*conv_like_scan(xla_bf16, x), conv_flops_per_iter)
 
     if "s2d_bf16" in names:
         x2 = to_s2d(x)
@@ -109,7 +108,7 @@ def build_variants(site, names):
             )
             return o + bias2.astype(o.dtype)
 
-        out["s2d_bf16"] = (*conv_like_scan(s2d_bf16, x2, 2 * cin), conv_flops_per_iter)
+        out["s2d_bf16"] = (*conv_like_scan(s2d_bf16, x2), conv_flops_per_iter)
 
     if "s2d_entry_bf16" in names:
         # normal-layout input -> FOLDED output (ops/s2d.py s2d_entry_kernel):
@@ -128,7 +127,7 @@ def build_variants(site, names):
             )
             return o
 
-        out["s2d_entry_bf16"] = (*conv_like_scan(s2d_entry, x, cin), conv_flops_per_iter)
+        out["s2d_entry_bf16"] = (*conv_like_scan(s2d_entry, x), conv_flops_per_iter)
 
     if "dot_equiv" in names:
         # same M*K*N as the conv, M scaled down 8x to fit HBM comfortably;
@@ -144,7 +143,7 @@ def build_variants(site, names):
                 preferred_element_type=jnp.bfloat16,
             )
 
-        out["dot_equiv"] = (*conv_like_scan(dot_equiv, lhs, k), 2 * m * k * n)
+        out["dot_equiv"] = (*conv_like_scan(dot_equiv, lhs), 2 * m * k * n)
 
     if "dot_s2d" in names:
         m = b * h * (w // 2) // 8
@@ -158,7 +157,7 @@ def build_variants(site, names):
                 preferred_element_type=jnp.bfloat16,
             )
 
-        out["dot_s2d"] = (*conv_like_scan(dot_s2d, lhs, k), 2 * m * k * n)
+        out["dot_s2d"] = (*conv_like_scan(dot_s2d, lhs), 2 * m * k * n)
 
     if "fused_bf16" in names or "fused_int8" in names:
         from polyffusion_tpu.ops.fused_gn_conv import (
@@ -172,7 +171,7 @@ def build_variants(site, names):
             out["fused_bf16"] = (
                 *conv_like_scan(
                     lambda t: gn_silu_conv3x3(t, a, off, wk, bias, interpret=False),
-                    x, cin,
+                    x,
                 ),
                 conv_flops_per_iter,
             )
@@ -181,7 +180,7 @@ def build_variants(site, names):
                 *conv_like_scan(
                     lambda t: gn_silu_conv3x3_q(t, a, off, wq, wscale, bias,
                                                 interpret=False),
-                    x, cin,
+                    x,
                 ),
                 conv_flops_per_iter,
             )
@@ -213,41 +212,12 @@ def run(site, iters, outdir, names):
 
 
 def report(outdir, site, iters, flops_by_name):
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    from xplane_while import extract_while_durations
 
-    paths = sorted(
-        glob.glob(os.path.join(outdir, "**", "*.xplane.pb"), recursive=True),
-        key=os.path.getmtime,
-    )
-    if not paths:
-        raise SystemExit(f"no .xplane.pb trace found under {outdir}")
-    xspace = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xspace.ParseFromString(f.read())
-    # the scans appear as %while ops in execution order
-    whiles = []
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
-            continue
-        ev_meta = plane.event_metadata
-        for line in plane.lines:
-            if line.name != "XLA Ops":
-                continue
-            for ev in line.events:
-                name = ev_meta[ev.metadata_id].name
-                if name.startswith("%while"):
-                    whiles.append((ev.offset_ps, name, ev.duration_ps / 1e12))
-    whiles.sort()
-    names = list(flops_by_name)
-    if len(whiles) != len(names):
-        raise SystemExit(
-            f"expected {len(names)} %while ops (one per variant) in the trace, "
-            f"found {len(whiles)} — positional attribution would be wrong: "
-            + "; ".join(w[1].split(" = ")[0] for w in whiles)
-        )
+    whiles = extract_while_durations(outdir, flops_by_name)
     print(f"\n== site {site} (iters {iters}) ==")
     rows = {}
-    for (off_, wname, dur), label in zip(whiles, names):
+    for (wname, dur), label in zip(whiles, flops_by_name):
         flops = flops_by_name[label] * iters
         tf = flops / dur / 1e12
         rows[label] = round(tf, 1)

@@ -25,7 +25,6 @@ call can never match.  The decisive number is still the full train-step A/B
 """
 
 import argparse
-import glob
 import json
 import os
 import sys
@@ -80,11 +79,16 @@ def build_variants(site, names):
     if "xla_vjp" in names:
         # backward-only with precomputed stats (_gna_bwd) — the same residuals
         # autodiff of the real step hands XLA; a jax.vjp here would also re-run
-        # the forward, overcharging XLA by one pass over x
-        from polyffusion_tpu.ops.gn_bwd import _gna_bwd
+        # the forward, overcharging XLA by one pass over x.  The override pins
+        # the XLA fallback: with POLYFF_PALLAS_GN_BWD=1 in the environment
+        # (the natural state while evaluating the kernel) _gna_bwd would
+        # otherwise reroute to the Pallas kernel and the A/B measures pallas
+        # twice.
+        from polyffusion_tpu.ops.gn_bwd import _gna_bwd, pallas_gn_bwd_override
 
         def body(carry, x_i):
-            dx, dg, db = _gna_bwd(g, eps, (x_i, scale, mean_c, inv_c), carry)
+            with pallas_gn_bwd_override(False):
+                dx, dg, db = _gna_bwd(g, eps, (x_i, scale, mean_c, inv_c), carry)
             return feedback(dx + 0 * jnp.mean(dg + db).astype(dx.dtype), carry), ()
 
         out["xla_vjp"] = (dy0, body, min_bytes)
@@ -126,39 +130,12 @@ def run(site, iters, outdir, names):
 
 
 def report(outdir, site, iters, bytes_by_name):
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    from xplane_while import extract_while_durations
 
-    paths = sorted(
-        glob.glob(os.path.join(outdir, "**", "*.xplane.pb"), recursive=True),
-        key=os.path.getmtime,
-    )
-    if not paths:
-        raise SystemExit(f"no .xplane.pb trace found under {outdir}")
-    xspace = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xspace.ParseFromString(f.read())
-    whiles = []
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
-            continue
-        ev_meta = plane.event_metadata
-        for line in plane.lines:
-            if line.name != "XLA Ops":
-                continue
-            for ev in line.events:
-                name = ev_meta[ev.metadata_id].name
-                if name.startswith("%while"):
-                    whiles.append((ev.offset_ps, name, ev.duration_ps / 1e12))
-    whiles.sort()
-    names = list(bytes_by_name)
-    if len(whiles) != len(names):
-        raise SystemExit(
-            f"expected {len(names)} %while ops (one per variant), found "
-            f"{len(whiles)}: " + "; ".join(w[1].split(" = ")[0] for w in whiles)
-        )
+    whiles = extract_while_durations(outdir, bytes_by_name)
     print(f"\n== site {site} (iters {iters}) ==")
     rows = {}
-    for (off_, wname, dur), label in zip(whiles, names):
+    for (wname, dur), label in zip(whiles, bytes_by_name):
         gbs = bytes_by_name[label] * iters / dur / 1e9
         rows[label] = {"us_per_site": round(dur * 1e6 / iters, 1),
                        "eff_GBps": round(gbs, 1)}

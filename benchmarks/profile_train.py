@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from profile_sample import parse  # same xplane aggregation
 
-PEAK_BF16_TFLOPS = 197.0  # v5e MXU peak (TODO.md speed-of-light arithmetic)
+# single definitions (repo-root bench.py) so this profiler's MXU% and bench's
+# `mfu` can never disagree
+from bench import PEAK_BF16_TFLOPS, executable_flops
 
 
 def capture(outdir: str, batch: int, steps: int) -> float:
@@ -71,10 +73,7 @@ def capture(outdir: str, batch: int, steps: int) -> float:
     # exact FLOPs of the measured executable (donated args: re-lower, cached)
     flops = None
     try:
-        cost = train_step.lower(state, tuple(batch), rng, ()).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = float(cost["flops"])
+        flops = executable_flops(train_step.lower(state, tuple(batch), rng, ()))
     except Exception as e:  # pragma: no cover - cost analysis is best-effort
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
 

@@ -170,14 +170,19 @@ def chd_acc(session, task, args):
             labels = labels_from_chord_matrix(onehot_to_chd(np.asarray(chord_onehot)))
             refs.append(beat_labels_to_intervals(labels))
 
+    # conditioning encodings are scale-independent: encode once, not per scale
+    # (frozen-encoder forwards + host<->device transfers are costly here)
+    conds = [
+        np.asarray(task.encode_chord(np.asarray(b.chord, np.float32)))
+        for b in batches
+    ]
+
     metrics = ("majmin", "triads", "root", "mirex", "seg")
     table = {}
     for s in scales:
-        gen = []
-        for batch in batches:
-            cond = np.asarray(task.encode_chord(np.asarray(batch.chord, np.float32)))
-            gen.append(session.predict(cond, uncond_scale=s))
-        gen = np.concatenate(gen)
+        gen = np.concatenate(
+            [session.predict(c, uncond_scale=s) for c in conds]
+        )
         assert len(gen) == len(refs)
         scores = {m: [] for m in metrics}
         for sample, (ref_iv, ref_lab) in zip(gen, refs):
@@ -261,13 +266,17 @@ def txt_acc(session, task, args):
     while len(srcs) > 1 and np.any(perm == np.arange(len(srcs))):
         perm = rng.permutation(len(srcs))
 
+    # conditioning encodings are scale-independent: encode once, not per scale
+    conds = [
+        np.asarray(task.encode_txt(np.asarray(b.prmat, np.float32)))
+        for b in batches
+    ]
+
     table = {}
     for s in scales:
-        gen = []
-        for batch in batches:
-            cond = np.asarray(task.encode_txt(np.asarray(batch.prmat, np.float32)))
-            gen.append(session.predict(cond, uncond_scale=s))
-        gen = np.concatenate(gen)
+        gen = np.concatenate(
+            [session.predict(c, uncond_scale=s) for c in conds]
+        )
         assert len(gen) == len(srcs)
         gen_prmat = prmat2c_to_prmat(gen, n_step=gen.shape[2]).astype(np.float32)
         gen_emb = np.asarray(task.encode_txt(gen_prmat))[:, 0]

@@ -30,7 +30,7 @@ import json
 import os
 import tempfile
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
@@ -66,6 +66,7 @@ class GenerationWorker:
         self.samples = 0
         self.last_device_ms = None
         self.warm = False
+        self.warm_error = None  # set if the background warmup thread dies
         self.warmed_scales = []
         # one chip: serialize generation (warmup thread vs request handlers)
         self._lock = __import__("threading").Lock()
@@ -107,7 +108,13 @@ class GenerationWorker:
         assert 1 <= num <= self.batch, f"num must be in [1, {self.batch}]"
         import jax
 
-        if not _warmup and float(uncond_scale) not in self.warmed_scales:
+        if (
+            not _warmup
+            and self.warmed_scales
+            and float(uncond_scale) not in self.warmed_scales
+        ):
+            # only meaningful once warmup registered something: under
+            # --no_warmup (or mid-warmup) every scale would false-positive
             print(
                 f"[serve] WARNING: uncond_scale {uncond_scale} was not warmed "
                 f"({self.warmed_scales}) — this request pays a fresh compile"
@@ -156,12 +163,14 @@ def make_handler(worker: GenerationWorker):
 
         def do_GET(self):
             if self.path == "/healthz":
+                err = worker.warm_error
                 self._reply(
-                    200,
+                    200 if err is None else 500,
                     {
-                        "ok": True,
+                        "ok": err is None,
                         "model": worker.cfg.get("model_name", "?"),
                         "warm": worker.warm,
+                        **({"warm_error": err} if err else {}),
                     },
                 )
             elif self.path == "/stats":
@@ -228,15 +237,30 @@ def main(argv=None):
     # Bind and serve BEFORE warmup: cold-cache TPU compiles take 20-60 min and
     # orchestration needs /healthz (warm: false) to tell a warming worker from
     # a dead one.  Warmup runs in a thread; the worker lock serializes it
-    # against any early /generate requests.
-    server = HTTPServer((args.host, args.port), make_handler(worker))
+    # against any early /generate requests.  The server must be THREADING:
+    # with a sequential accept loop, one /generate blocking on the warmup
+    # lock would wedge every later request — including the /healthz polls
+    # this split exists for.
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(batch {args.batch_size}, {'DDIM' if args.ddim else 'DDPM'}, warming)")
     if not args.no_warmup:
         import threading
 
         scales = [float(s) for s in args.warmup_scales.split(",")]
-        threading.Thread(target=worker.warmup, args=(scales,), daemon=True).start()
+
+        def _warmup_guarded():
+            # a swallowed warmup failure would leave a zombie worker serving
+            # warm:false forever; record it so /healthz turns red and
+            # orchestration gets a terminal signal
+            try:
+                worker.warmup(scales)
+            except BaseException as e:  # noqa: BLE001 - report, then re-raise
+                worker.warm_error = f"{type(e).__name__}: {e}"
+                print(f"[serve] FATAL: warmup failed: {worker.warm_error}")
+                raise
+
+        threading.Thread(target=_warmup_guarded, daemon=True).start()
     else:
         worker.warm = True
     server.serve_forever()

@@ -37,6 +37,7 @@ def worker():
     w.samples = 0
     w.last_device_ms = None
     w.warm = True
+    w.warm_error = None
     w.warmed_scales = [1.0]
     w._lock = threading.Lock()
     return w
@@ -79,9 +80,11 @@ def test_generate_rejects_oversize(worker):
 
 
 def test_http_round_trip(worker):
-    from http.server import HTTPServer
+    # ThreadingHTTPServer mirrors production (serve.py main): a sequential
+    # accept loop would wedge /healthz behind a long /generate
+    from http.server import ThreadingHTTPServer
 
-    server = HTTPServer(("127.0.0.1", 0), make_handler(worker))
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -108,4 +111,26 @@ def test_http_round_trip(worker):
         stats = json.loads(conn.getresponse().read())
         assert stats["requests"] >= 2
     finally:
+        server.shutdown()
+
+
+def test_healthz_reports_warmup_failure(worker):
+    """A dead warmup thread must turn /healthz red (500 + warm_error), not
+    leave a zombie serving ok/warm:false forever."""
+    from http.server import ThreadingHTTPServer
+
+    worker.warm_error = "RuntimeError: boom"
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 500
+        assert body["ok"] is False and "boom" in body["warm_error"]
+    finally:
+        worker.warm_error = None
         server.shutdown()
