@@ -49,6 +49,8 @@ def main(argv=None):
                    help="checkpoint every N epochs (final epoch always saves)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true", help="resume from output_dir/chkpts")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3 state sharding over dp (parallel/fsdp.py)")
     p.add_argument("--fresh", action="store_true", help="force a new timestamped subdir")
     p.add_argument(
         "--profile_steps",
@@ -65,6 +67,8 @@ def main(argv=None):
     cfg = load_params(args.model)
     if args.batch_size:
         cfg["batch_size"] = args.batch_size
+    if args.fsdp:
+        cfg["fsdp"] = True
 
     output_dir = args.output_dir
     has_ckpt = os.path.isdir(os.path.join(output_dir, "chkpts"))

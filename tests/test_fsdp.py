@@ -93,3 +93,39 @@ def test_fsdp_policy_replicates_without_dp_axis():
         s.spec == jax.sharding.PartitionSpec()
         for s in jax.tree_util.tree_leaves(sh, is_leaf=lambda x: hasattr(x, "spec"))
     )
+
+
+def test_fsdp_trainer_save_resume_roundtrip(tmp_path):
+    """Full Trainer loop under fsdp: true — ZeRO-3-sharded state must survive
+    the orbax save -> fresh-trainer restore -> re-shard -> continue path."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from synth import make_song_npz
+    from polyffusion_tpu.data import SegmentDataset, make_loaders
+    from polyffusion_tpu.train import Trainer
+    from test_train_e2e import TINY_CFG
+
+    d = tmp_path / "npz"
+    d.mkdir()
+    for i in range(3):
+        make_song_npz(str(d / f"{i}.npz"), n_bars=24, seed=i)
+
+    cfg = TINY_CFG.__class__(dict(TINY_CFG, fsdp=True))
+    mesh = make_mesh()
+    train_ds, val_ds = SegmentDataset.train_val_from_dir(str(d), 0.75)
+    train_dl, val_dl = make_loaders(train_ds, val_ds, 8, mesh)
+
+    out = str(tmp_path / "run")
+    trainer = Trainer(task=SDFTask(cfg), cfg=cfg, output_dir=out, mesh=mesh,
+                      max_steps=2, log_every=1)
+    state = trainer.fit(train_dl, val_dl, resume=False)
+    assert int(state.step) == 2
+    kern = state.params["input_blocks_1_0"]["in_conv"]["kernel"]
+    assert "dp" in str(kern.sharding.spec)
+
+    trainer2 = Trainer(task=SDFTask(cfg), cfg=cfg, output_dir=out, mesh=mesh,
+                      max_steps=4, log_every=1)
+    state2 = trainer2.fit(train_dl, val_dl, resume=True)
+    assert int(state2.step) == 4
+    kern2 = state2.params["input_blocks_1_0"]["in_conv"]["kernel"]
+    assert "dp" in str(kern2.sharding.spec)
