@@ -464,3 +464,24 @@ def test_synth_corpus_vary_texture_diversifies_rhythm(tmp_path):
     assert f1_plain > 0.95, f1_plain
     # varied corpus: cross-song rhythm overlap drops substantially
     assert f1_vary < 0.8, (f1_plain, f1_vary)
+
+
+def test_synth_corpus_vary_texture_keeps_chord_purity(tmp_path):
+    """Texture archetypes must not break the corpus's harmonic ground truth:
+    every note stays a chord tone of its bar's labeled chord."""
+    import os
+
+    from polyffusion_tpu.tools import synth_corpus
+
+    d = str(tmp_path / "vt")
+    synth_corpus(d, n_songs=4, n_bars=8, seed=3, vary_texture=True)
+    for fn in sorted(os.listdir(d)):
+        data = np.load(os.path.join(d, fn), allow_pickle=True)
+        chord = np.asarray(data["chord"])  # (beats, 14): root, chroma, bass
+        notes = data["notes"]
+        tracks = notes if notes.dtype == object else [notes]
+        for track in tracks:
+            for onset, pitch, dur, *_ in np.asarray(track):
+                bar = int(onset) // 16
+                chroma = chord[bar * 4, 1:13]  # absolute pitch-class chroma
+                assert chroma[int(pitch) % 12] == 1, (fn, onset, pitch)
