@@ -43,6 +43,21 @@ def _batches(data_dir, batch_size, num, use_track=(0, 1, 2), split_file=None):
         yield batch
 
 
+def _full_cond(task, batch) -> np.ndarray:
+    """Complete conditioning vector for generation per ``task.cond_type`` (no
+    CFG dropout) — the control-fidelity sweeps must feed a ``chord+txt`` model
+    BOTH halves (d_cond = chd z + txt z), not just the axis under test."""
+    if task.cond_type == "chord":
+        return np.asarray(task.encode_chord(np.asarray(batch.chord, np.float32)))
+    if task.cond_type == "txt":
+        return np.asarray(task.encode_txt(np.asarray(batch.prmat, np.float32)))
+    if task.cond_type == "chord+txt":
+        zchd = np.asarray(task.encode_chord(np.asarray(batch.chord, np.float32)))
+        ztxt = np.asarray(task.encode_txt(np.asarray(batch.prmat, np.float32)))
+        return np.concatenate([zchd, ztxt], axis=-1)
+    raise NotImplementedError(task.cond_type)
+
+
 def prompt_generation(session, task, args, check_integrity=True):
     gen = []
     for batch in _batches(args.data_dir, args.batch_size, args.batch_num, split_file=args.split_file):
@@ -172,10 +187,7 @@ def chd_acc(session, task, args):
 
     # conditioning encodings are scale-independent: encode once, not per scale
     # (frozen-encoder forwards + host<->device transfers are costly here)
-    conds = [
-        np.asarray(task.encode_chord(np.asarray(b.chord, np.float32)))
-        for b in batches
-    ]
+    conds = [_full_cond(task, b) for b in batches]
 
     metrics = ("majmin", "triads", "root", "mirex", "seg")
     table = {}
@@ -267,10 +279,7 @@ def txt_acc(session, task, args):
         perm = rng.permutation(len(srcs))
 
     # conditioning encodings are scale-independent: encode once, not per scale
-    conds = [
-        np.asarray(task.encode_txt(np.asarray(b.prmat, np.float32)))
-        for b in batches
-    ]
+    conds = [_full_cond(task, b) for b in batches]
 
     table = {}
     for s in scales:

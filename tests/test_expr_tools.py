@@ -485,3 +485,33 @@ def test_synth_corpus_vary_texture_keeps_chord_purity(tmp_path):
                 bar = int(onset) // 16
                 chroma = chord[bar * 4, 1:13]  # absolute pitch-class chroma
                 assert chroma[int(pitch) % 12] == 1, (fn, onset, pitch)
+
+
+def test_control_fidelity_sweeps_support_joint_cond(data_dir, tmp_path):
+    """chd_acc and txt_acc must feed a chord+txt model the FULL concatenated
+    conditioning (d_cond = chd_z + 4*txt_z), not just the axis under test."""
+    from polyffusion_tpu.models.encoders import ChordEncoder, TextureEncoder
+
+    chd = ChordEncoder(hidden_dim=64, z_dim=32)
+    chd_params = chd.init(
+        jax.random.PRNGKey(1), np.zeros((1, 32, 36), np.float32)
+    )["params"]
+    txt = TextureEncoder(emb_size=64, hidden_dim=128, z_dim=16, num_channel=10)
+    txt_params = txt.init(
+        jax.random.PRNGKey(2), np.zeros((1, 32, 128), np.float32)
+    )["params"]
+    cfg = Params({**TINY_CFG, "d_cond": 96, "cond_type": "chord+txt",
+                  "use_enc": True})
+    task = SDFTask(cfg, chord_enc=chd, chord_enc_params=chd_params,
+                   txt_enc=txt, txt_enc_params=txt_params)
+    params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+    session = InferenceSession(
+        task, params, use_ddim=True, ddim_steps=2, traced_cfg_scale=True
+    )
+    args = SimpleNamespace(
+        data_dir=data_dir, split_file=None, batch_size=2, batch_num=1,
+        output_dir=str(tmp_path), uncond_scale=1.0, scales="0,3", seed=0,
+    )
+    for kind in ("chd_acc", "txt_acc"):
+        table = X.EXPERIMENTS[kind](session, task, args)
+        assert set(table) == {0.0, 3.0}, kind
