@@ -342,7 +342,7 @@ def adjust_intervals(
     if t_min is not None:
         keep = np.argwhere(intervals[:, 1] >= t_min)
         if len(keep) > 0:
-            first = int(keep[0])
+            first = int(keep[0, 0])  # keep is (N, 1); ndim>0 int() is deprecated
             intervals = intervals[first:]
             if labels is not None:
                 labels = labels[first:]
@@ -354,7 +354,7 @@ def adjust_intervals(
     if t_max is not None:
         above = np.argwhere(intervals[:, 0] > t_max)
         if len(above) > 0:
-            last = int(above[0])
+            last = int(above[0, 0])
             intervals = intervals[:last]
             if labels is not None:
                 labels = labels[:last]

@@ -67,6 +67,14 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None, f
         return jax.jit(step, donate_argnums=(0,))
 
     bsh, rep = batch_sharding(mesh), replicated(mesh)
+    if fsdp and "tp" in mesh.axis_names:
+        # the tp branch below returns first and would silently drop fsdp —
+        # a user asking for ZeRO-3 on a tp mesh must hear about it (ADVICE r3)
+        raise ValueError(
+            "fsdp=True is not supported on a tp mesh: tp shards params by the "
+            "Megatron policy; combine dp-axis fsdp with tp is unimplemented. "
+            "Drop 'fsdp: true' or use a dp-only mesh."
+        )
     if "tp" in mesh.axis_names:
         # Megatron param sharding over the tp axis (parallel/tp.py); state
         # shardings are inferred per-leaf at the first call (jit resolves

@@ -17,7 +17,9 @@
 # every 10 epochs so a mid-run kill never loses the training.
 set -euo pipefail
 MODE=${1:?mode: chd|txt|joint}
-WORK=${2:?workdir}
+# resolve the workdir to an absolute path BEFORE the cd below — a relative
+# workdir otherwise dangles both the mkdir'd tree and the pretrain symlink
+WORK=$(realpath -m "${2:?workdir}")
 STEPS=${STEPS:-16000}
 SCALES=${SCALES:-0,1,3,5}
 mkdir -p "$WORK"
