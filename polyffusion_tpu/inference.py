@@ -76,11 +76,12 @@ def get_mask(orig: np.ndarray, inpaint_type: str, bar_list=None) -> np.ndarray:
     raise NotImplementedError(inpaint_type)
 
 
-def get_autoreg_data(data: np.ndarray, axis: int) -> np.ndarray:
+def get_autoreg_data(data: np.ndarray, axis: int, seg_axis: int = 0) -> np.ndarray:
     """The 4-bar-overlap "mid" segments: (second half | next segment's first half)
-    (reference inference_sdf.py:121-129)."""
+    (reference inference_sdf.py:121-129).  ``seg_axis`` is the 8-bar-segment
+    axis (0 for per-piece arrays, 1 for piece-major (P, B, ...) stacks)."""
     half1, half2 = np.split(data, 2, axis=axis)
-    half1 = np.roll(half1, -1, axis=0)
+    half1 = np.roll(half1, -1, axis=seg_axis)
     return np.concatenate([half2, half1], axis=axis)
 
 
@@ -171,9 +172,15 @@ class InferenceSession:
         mesh=None,
         bf16_params: bool = False,
         traced_cfg_scale: bool = False,
+        fsdp_params: bool = False,
     ):
         """``mesh``: optional dp mesh — batch-shards sampling across devices
         (params replicated); batch must divide the mesh size.
+
+        ``fsdp_params``: with ``mesh``, place the weights ZeRO-3-sharded over
+        dp instead of replicated (parallel/fsdp.py) — GSPMD all-gathers each
+        layer at its use site.  For models whose weights don't fit one chip's
+        HBM at sampling time.
 
         ``bf16_params``: cast non-norm parameters to bfloat16 once at load —
         halves per-eval weight traffic on the bandwidth-bound sampling path
@@ -194,9 +201,14 @@ class InferenceSession:
 
             params = cast_sampling_params(params)
         if mesh is not None:
-            from .parallel.mesh import replicated
+            if fsdp_params:
+                from .parallel.fsdp import infer_fsdp_sharding
 
-            params = jax.device_put(params, replicated(mesh))
+                params = jax.device_put(params, infer_fsdp_sharding(params, mesh))
+            else:
+                from .parallel.mesh import replicated
+
+                params = jax.device_put(params, replicated(mesh))
         else:
             # orbax restores onto the CPU backend (the template is built there
             # to keep init off the slow remote-dispatch path); committed CPU
@@ -309,14 +321,40 @@ class InferenceSession:
         autoreg: bool = False,
         orig: Optional[np.ndarray] = None,
         mask: Optional[np.ndarray] = None,
+        noise: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Generate/inpaint (B, 2, 128, 128) images (reference Experiments.predict).
 
         Plain path: start from q_sample(orig=0) noise and paint with zero mask.
         Autoreg path: 2B-1 sliding 8-bar windows, forcing each window's first 4
-        bars to the previous window's last 4 bars (mask=1 there).
+        bars to the previous window's last 4 bars (mask=1 there).  Piece-batched
+        autoreg: pass ``cond`` with a leading pieces axis — (P, B, 1, d_cond) —
+        and P independent pieces ride the SAME 2B-1 sequential windows at batch
+        P instead of idling the chip at batch 1 (the reference generates
+        ``--num_generate`` pieces serially, inference_sdf.py:305-350); returns
+        (P, 2B, C, half, W).
+
+        ``noise``: optional explicit starting noise (NHWC, matching the cond
+        batch layout) — reproducibility hook; drawn from the session rng when
+        omitted.
         """
         import jax.numpy as jnp
+
+        if autoreg:
+            assert cond_mid is not None, "autoreg needs the mid-window conditions"
+            if cond.ndim == 4:  # (P, B, 1, d): piece-batched
+                return self._predict_autoreg(
+                    cond, cond_mid, uncond_scale, orig, mask, noise
+                )
+            out = self._predict_autoreg(
+                cond[None],
+                cond_mid[None],
+                uncond_scale,
+                None if orig is None else orig[None],
+                None if mask is None else mask[None],
+                None if noise is None else noise[None],
+            )
+            return out[0]
 
         b = cond.shape[0]
         h, w = self.cfg.img_h, self.cfg.img_w
@@ -331,56 +369,111 @@ class InferenceSession:
         mask_nhwc = np.transpose(mask, (0, 2, 3, 1))
         import jax
 
-        noise = np.asarray(jax.random.normal(self._next_rng(), shape, jnp.float32))
+        if noise is None:
+            noise = np.asarray(jax.random.normal(self._next_rng(), shape, jnp.float32))
         paint = self._paint_fn(uncond_scale)
 
         from .parallel.mesh import batch_sharding
 
         def put(a):
             a = jnp.asarray(a)
-            if self.mesh is not None and not autoreg and a.ndim >= 1:
+            if self.mesh is not None and a.ndim >= 1:
                 return jax.device_put(a, batch_sharding(self.mesh))
             return a
 
         scale_arg = jnp.float32(uncond_scale)
-        if not autoreg:
-            xt = self._q_sample_start(put(orig_nhwc), put(noise))
-            gen = paint(
-                self.params,
-                xt,
-                put(cond),
-                self._next_rng(),
-                put(orig_nhwc),
-                put(mask_nhwc),
-                put(noise),
-                put(uncond_cond),
-                scale_arg,
-            )
-            return np.transpose(np.asarray(gen), (0, 3, 1, 2))
+        xt = self._q_sample_start(put(orig_nhwc), put(noise))
+        gen = paint(
+            self.params,
+            xt,
+            put(cond),
+            self._next_rng(),
+            put(orig_nhwc),
+            put(mask_nhwc),
+            put(noise),
+            put(uncond_cond),
+            scale_arg,
+        )
+        return np.transpose(np.asarray(gen), (0, 3, 1, 2))
 
-        assert cond_mid is not None, "autoreg needs the mid-window conditions"
+    def _predict_autoreg(
+        self,
+        conds: np.ndarray,
+        cond_mids: np.ndarray,
+        uncond_scale: float,
+        origs: Optional[np.ndarray] = None,
+        masks: Optional[np.ndarray] = None,
+        noise: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Piece-batched sliding-window generation.
+
+        ``conds``: (P, B, 1, d_cond); ``cond_mids``: (P, B-1, 1, d_cond);
+        ``origs``/``masks``: optional (P, B, C, H, W); ``noise``: optional
+        (P, B, H, W, C).  The windows within a piece are inherently sequential
+        (each forces its first half to the previous window's output), but
+        ACROSS pieces the work is embarrassingly parallel — each of the 2B-1
+        paints runs at batch P on one executable.  Returns (P, 2B, C, H/2, W),
+        each piece stitched from its 4-bar half-windows.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        P, B = conds.shape[:2]
+        h, w = self.cfg.img_h, self.cfg.img_w
+        c_out = self.cfg.out_channels
         half = h // 2
-        orig_mid = get_autoreg_data(orig_nhwc, axis=1)
-        mask_mid = get_autoreg_data(mask_nhwc, axis=1)
-        noise_mid = get_autoreg_data(noise, axis=1)
-        uncond_seg = jnp.asarray(uncond_cond[:1])
 
-        gen = []
+        if origs is None or masks is None:
+            origs = np.zeros((P, B, c_out, h, w), np.float32)
+            masks = np.zeros_like(origs)
+        orig_nhwc = np.transpose(origs, (0, 1, 3, 4, 2))  # (P, B, H, W, C)
+        mask_nhwc = np.transpose(masks, (0, 1, 3, 4, 2))
+
+        if noise is None:
+            if P == 1:
+                # preserve the single-piece seed stream exactly (pre-round-4
+                # autoreg draws; PARITY.md seed-stream notes)
+                noise = np.asarray(
+                    jax.random.normal(self._next_rng(), (B, h, w, c_out), jnp.float32)
+                )[None]
+            else:
+                key = self._next_rng()
+                noise = np.stack(
+                    [
+                        np.asarray(
+                            jax.random.normal(
+                                jax.random.fold_in(key, p), (B, h, w, c_out), jnp.float32
+                            )
+                        )
+                        for p in range(P)
+                    ]
+                )
+
+        # mid-window views: time axis 2, segment axis 1 (piece-major)
+        orig_mid = get_autoreg_data(orig_nhwc, axis=2, seg_axis=1)
+        mask_mid = get_autoreg_data(mask_nhwc, axis=2, seg_axis=1)
+        noise_mid = get_autoreg_data(noise, axis=2, seg_axis=1)
+
+        uncond_seg = jnp.asarray(-np.ones((P, 1, self.cfg.d_cond), np.float32))
+        scale_arg = jnp.float32(uncond_scale)
+        paint = self._paint_fn(uncond_scale)
+
+        gen = []  # list of (P, half, W, C)
         prev_half = None
-        for idx in range(b * 2 - 1):
+        for idx in range(B * 2 - 1):
             if idx % 2 == 1:
                 c, o, m, nz = (
-                    cond_mid[idx // 2 : idx // 2 + 1],
-                    orig_mid[idx // 2 : idx // 2 + 1].copy(),
-                    mask_mid[idx // 2 : idx // 2 + 1].copy(),
-                    noise_mid[idx // 2 : idx // 2 + 1],
+                    cond_mids[:, idx // 2],
+                    orig_mid[:, idx // 2].copy(),
+                    mask_mid[:, idx // 2].copy(),
+                    noise_mid[:, idx // 2],
                 )
             else:
                 c, o, m, nz = (
-                    cond[idx // 2 : idx // 2 + 1],
-                    orig_nhwc[idx // 2 : idx // 2 + 1].copy(),
-                    mask_nhwc[idx // 2 : idx // 2 + 1].copy(),
-                    noise[idx // 2 : idx // 2 + 1],
+                    conds[:, idx // 2],
+                    orig_nhwc[:, idx // 2].copy(),
+                    mask_nhwc[:, idx // 2].copy(),
+                    noise[:, idx // 2],
                 )
             if idx != 0:
                 o[:, 0:half] = prev_half
@@ -404,8 +497,8 @@ class InferenceSession:
             prev_half = x0[:, half:]
             gen.append(prev_half)
 
-        stacked = np.concatenate(gen, axis=0)  # (2B, half, W, C)
-        return np.transpose(stacked, (0, 3, 1, 2))
+        stacked = np.stack(gen, axis=1)  # (P, 2B, half, W, C)
+        return np.transpose(stacked, (0, 1, 4, 2, 3))
 
     # -- user-facing ops ----------------------------------------------------------
 
@@ -428,7 +521,13 @@ class InferenceSession:
                 f"_{datetime.now().strftime('%y-%m-%d_%H%M%S')}"
             )
             os.makedirs(output_dir, exist_ok=True)
-            prmat2c_to_midi_file(gen, os.path.join(output_dir, f"{stamp}.mid"))
+            if gen.ndim == 5:  # piece-batched autoreg: one MIDI per piece
+                for p in range(gen.shape[0]):
+                    prmat2c_to_midi_file(
+                        gen[p], os.path.join(output_dir, f"{stamp}_{p}.mid")
+                    )
+            else:
+                prmat2c_to_midi_file(gen, os.path.join(output_dir, f"{stamp}.mid"))
         return gen
 
     def inpaint(
@@ -741,6 +840,27 @@ def main(argv=None):
         from .models.polydis import PolydisAftertouch
 
         aftertouch = PolydisAftertouch(model_path=args.polydis_path)
+
+    # piece-batched long-form: N independent pieces ride the same 2B-1 windows
+    # at batch N in ONE pass (the reference's --num_generate loop is serial,
+    # inference_sdf.py:305-350); aftertouch/inpaint paths keep the loop
+    if args.autoreg and args.num_generate > 1 and not args.inpaint_type and aftertouch is None:
+        conds = np.broadcast_to(
+            cond[None], (args.num_generate,) + cond.shape
+        ).copy()
+        cond_mids = np.broadcast_to(
+            cond_mid[None], (args.num_generate,) + cond_mid.shape
+        ).copy()
+        session.generate(
+            conds,
+            cond_mids,
+            uncond_scale=args.uncond_scale,
+            autoreg=True,
+            output_dir=args.output_dir,
+            model_label=label,
+        )
+        print(f"wrote {args.num_generate} output(s) to {args.output_dir} (piece-batched)")
+        return
 
     for i in range(args.num_generate):
         if args.inpaint_type:

@@ -91,3 +91,80 @@ def test_traced_cfg_scale_matches_static():
     s.predict(cond, uncond_scale=0.0)
     s.predict(cond, uncond_scale=5.0)
     assert len(s._paint_cache) == 1
+
+
+def test_autoreg_piece_batched_equals_sequential():
+    """P=4 piece-batched autoreg == 4 sequential P=1 runs, bit for bit
+    (VERDICT r3 item 3: the reference generates --num_generate pieces
+    serially; across pieces the 2B-1 windows are embarrassingly parallel).
+
+    DDIM eta=0 makes the paint deterministic given the starting noise, so
+    passing the SAME explicit noise to both paths isolates the batching."""
+    import jax
+
+    from polyffusion_tpu.config import Params
+    from polyffusion_tpu.inference import InferenceSession
+    from polyffusion_tpu.tasks import SDFTask
+
+    cfg = Params(
+        model_name="sdf_test", batch_size=2, max_epoch=1, learning_rate=1e-4,
+        max_grad_norm=10, bf16=False, in_channels=2, out_channels=2, channels=32,
+        attention_levels=[1], n_res_blocks=1, channel_multipliers=[1, 2],
+        n_heads=2, tf_layers=1, d_cond=1152, linear_start=0.00085,
+        linear_end=0.012, n_steps=8, img_h=32, img_w=32, cond_type="chord",
+        cond_mode="mix", use_enc=False,
+    )
+    task = SDFTask(cfg)
+    params = task.init_params(jax.random.PRNGKey(0))
+
+    P, B = 4, 3
+    rng = np.random.default_rng(7)
+    conds = rng.standard_normal((P, B, 1, cfg.d_cond)).astype(np.float32)
+    cond_mids = rng.standard_normal((P, B - 1, 1, cfg.d_cond)).astype(np.float32)
+    noise = rng.standard_normal((P, B, cfg.img_h, cfg.img_w, 2)).astype(np.float32)
+
+    def make_session():
+        return InferenceSession(task, params, use_ddim=True, ddim_steps=4, seed=0)
+
+    batched = make_session().predict(
+        conds, cond_mids, uncond_scale=5.0, autoreg=True, noise=noise
+    )
+    assert batched.shape == (P, 2 * B, 2, cfg.img_h // 2, cfg.img_w)
+
+    for p in range(P):
+        solo = make_session().predict(
+            conds[p], cond_mids[p], uncond_scale=5.0, autoreg=True, noise=noise[p]
+        )
+        assert solo.shape == (2 * B, 2, cfg.img_h // 2, cfg.img_w)
+        np.testing.assert_array_equal(
+            batched[p], solo, err_msg=f"piece {p} diverged from its solo run"
+        )
+
+
+def test_autoreg_batched_pieces_differ_without_explicit_noise():
+    """Without explicit noise, each batched piece gets its OWN starting noise
+    (fold_in per piece) — identical conds must still yield distinct pieces."""
+    import jax
+
+    from polyffusion_tpu.config import Params
+    from polyffusion_tpu.inference import InferenceSession
+    from polyffusion_tpu.tasks import SDFTask
+
+    cfg = Params(
+        model_name="sdf_test", batch_size=2, max_epoch=1, learning_rate=1e-4,
+        max_grad_norm=10, bf16=False, in_channels=2, out_channels=2, channels=32,
+        attention_levels=[], n_res_blocks=1, channel_multipliers=[1, 2],
+        n_heads=2, tf_layers=1, d_cond=1152, linear_start=0.00085,
+        linear_end=0.012, n_steps=8, img_h=32, img_w=32, cond_type="chord",
+        cond_mode="mix", use_enc=False,
+    )
+    task = SDFTask(cfg)
+    params = task.init_params(jax.random.PRNGKey(0))
+    session = InferenceSession(task, params, use_ddim=True, ddim_steps=4, seed=0)
+
+    B = 2
+    cond = np.random.default_rng(1).standard_normal((1, B, 1, cfg.d_cond)).astype(np.float32)
+    conds = np.broadcast_to(cond, (2, B, 1, cfg.d_cond)).copy()
+    cond_mids = np.zeros((2, B - 1, 1, cfg.d_cond), np.float32)
+    out = session.predict(conds, cond_mids, uncond_scale=0.0, autoreg=True)
+    assert not np.array_equal(out[0], out[1])
