@@ -33,6 +33,14 @@ named configs; the default is the headline):
 ``POLYFF_BF16_PARAMS=0`` disables the bfloat16 sampling weights (fp32 weights
 were the round-1 configuration, 10.2-10.3 samples/s).
 
+Availability gate: the remote TPU tunnel has documented multi-hour outages
+(round-3's driver capture died on one, BENCH_r03.json rc=1).  Before touching
+jax, a subprocess probe (trivial op under BENCH_PROBE_TIMEOUT_S) retries with
+backoff for BENCH_PROBE_WINDOW_S (default 45 min); on exhaustion bench prints
+``{"metric": ..., "error": "tpu_tunnel_down", ...}`` and exits 1 so a crash and
+an outage are distinguishable in the recorded JSON.  ``BENCH_SKIP_PROBE=1``
+bypasses the gate; ``BENCH_PROBE_CMD`` substitutes a fake probe (tests).
+
 A100 denominators follow BASELINE.md's eager-HBM-roofline methodology: the
 headline workload pins 2.0 samples/s at 100 UNet evals/sample; DDPM-1000 is
 the same per-eval arithmetic at 1000 single-batched evals (0.2 samples/s);
@@ -43,6 +51,7 @@ inpaint adds only a mask-blend epilogue to the headline (2.0 samples/s).
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -67,6 +76,96 @@ DDIM_STEPS = 50
 CFG_SCALE = 5.0
 # relative (max-min)/median beyond which a run is considered congestion-polluted
 CONGESTION_SPREAD = float(os.environ.get("BENCH_SPREAD_LIMIT", "0.25"))
+
+
+# --- backend availability gate -------------------------------------------
+# The TPU tunnel goes fully DOWN for an hour+ at a time (CLAUDE.md); round-3's
+# driver bench capture crashed on exactly this ("Unable to initialize backend
+# 'axon'", BENCH_r03.json rc=1).  Before any jax import in this process, probe
+# the backend with a trivial op in a SUBPROCESS under a timeout (an in-process
+# jax device init that hangs is unrecoverable), retrying with backoff for a
+# bounded window, and only then fail with a distinguishable JSON error line.
+
+PROBE_WINDOW_S = float(os.environ.get("BENCH_PROBE_WINDOW_S", "2700"))  # 45 min
+PROBE_TIMEOUT_S = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120"))
+PROBE_INTERVAL_S = float(os.environ.get("BENCH_PROBE_INTERVAL_S", "60"))
+
+_DEFAULT_PROBE_CODE = (
+    "import jax, jax.numpy as jnp;"
+    "jnp.ones((8,8)).sum().block_until_ready()"
+)
+
+
+def _probe_once(timeout_s, probe_cmd=None):
+    """One subprocess probe of the default jax backend; True iff it completes."""
+    cmd = probe_cmd or [sys.executable, "-c", _DEFAULT_PROBE_CODE]
+    try:
+        r = subprocess.run(
+            cmd, timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def wait_for_backend(
+    window_s=None,
+    probe_timeout_s=None,
+    interval_s=None,
+    probe_cmd=None,
+    sleep=time.sleep,
+    clock=time.monotonic,
+):
+    """Probe until the backend answers or ``window_s`` elapses.
+
+    Returns ``(ok, attempts)``.  Backoff doubles the interval per failure
+    (capped at 8x) and never sleeps past the deadline.  ``probe_cmd``/``sleep``/
+    ``clock`` are injectable for tests (tests/test_bench_probe.py).
+    """
+    window_s = PROBE_WINDOW_S if window_s is None else window_s
+    probe_timeout_s = PROBE_TIMEOUT_S if probe_timeout_s is None else probe_timeout_s
+    interval_s = PROBE_INTERVAL_S if interval_s is None else interval_s
+    deadline = clock() + window_s
+    attempts = 0
+    while True:
+        attempts += 1
+        if _probe_once(probe_timeout_s, probe_cmd):
+            return True, attempts
+        remaining = deadline - clock()
+        if remaining <= 0:
+            return False, attempts
+        sleep(min(interval_s * (2 ** min(attempts - 1, 3)), remaining))
+
+
+# BENCH_METRIC key -> the metric name its JSON line would have carried, so an
+# outage record is attributable to the workload that was being measured
+_METRIC_NAMES = {
+    "": "8bar_samples_per_sec_ddim50_cfg",
+    "headline": "8bar_samples_per_sec_ddim50_cfg",
+    "train": "train_step_time_batch16",
+    "ddpm1000": "8bar_samples_per_sec_ddpm1000_uncond",
+    "autoreg": "autoreg_10x8bar_wall_time",
+    "inpaint": "8bar_samples_per_sec_inpaint_below_ddim50_cfg",
+}
+
+
+def _gate_backend_or_die(metric_key):
+    """Run the availability gate; on exhaustion print a JSON error line and exit 1."""
+    if os.environ.get("BENCH_SKIP_PROBE", "0") == "1":
+        return
+    probe_cmd = None
+    if os.environ.get("BENCH_PROBE_CMD"):  # test hook: fake backend
+        probe_cmd = ["/bin/sh", "-c", os.environ["BENCH_PROBE_CMD"]]
+    ok, attempts = wait_for_backend(probe_cmd=probe_cmd)
+    if not ok:
+        print(json.dumps({
+            "metric": _METRIC_NAMES.get(metric_key, metric_key),
+            "error": "tpu_tunnel_down",
+            "probe_attempts": attempts,
+            "probe_window_s": PROBE_WINDOW_S,
+        }))
+        raise SystemExit(1)
 
 
 def _timed_iters(fn, n_iters):
@@ -302,17 +401,26 @@ def main_ddpm1000():
 
 
 def main_autoreg():
-    """BASELINE.json config 5a: 10x8-bar long-form generation wall time
-    (reference --autoreg --length 10: 19 sliding paints at batch 1, forcing
-    each window's first half to the previous window's second half).
-    A100 denominator: 19 windows / 2.0 samples/s = 9.5 s/piece."""
+    """BASELINE.json config 5a: 10x8-bar long-form generation, wall time PER
+    PIECE (reference --autoreg --length 10: 19 sliding paints, and the
+    reference generates --num_generate pieces SERIALLY at batch 1,
+    inference_sdf.py:227-283,305-350).  TPU-first redesign: the 19 windows
+    within a piece are inherently sequential, but across pieces the work is
+    embarrassingly parallel — BENCH_AUTOREG_PIECES (default 8) independent
+    pieces ride the same 19 windows at batch P, and the reported value is the
+    per-piece amortized wall time.  BENCH_AUTOREG_PIECES=1 reproduces the
+    round-3 serial measurement (4.699 s/piece).
+    A100 denominator: 19 windows / 2.0 samples/s = 9.5 s/piece (serial)."""
     import numpy as np
 
     length = int(os.environ.get("BENCH_AUTOREG_LEN", "10"))
+    pieces = int(os.environ.get("BENCH_AUTOREG_PIECES", "8"))
     task, session, cfg = _flagship_session(use_ddim=True, ddim_steps=DDIM_STEPS)
     rng = np.random.default_rng(0)
-    cond = rng.standard_normal((length, 1, cfg.d_cond)).astype(np.float32)
-    cond_mid = rng.standard_normal((length - 1, 1, cfg.d_cond)).astype(np.float32)
+    cond = rng.standard_normal((pieces, length, 1, cfg.d_cond)).astype(np.float32)
+    cond_mid = rng.standard_normal((pieces, length - 1, 1, cfg.d_cond)).astype(np.float32)
+    if pieces == 1:
+        cond, cond_mid = cond[0], cond_mid[0]
 
     session.predict(cond, cond_mid, uncond_scale=CFG_SCALE, autoreg=True)  # warm
 
@@ -321,12 +429,13 @@ def main_autoreg():
 
     n_iters = int(os.environ.get("BENCH_ITERS", "3"))
     med, spread = _measure(one_iter, n_iters)
+    per_piece = med / pieces
     baseline_s = (2 * length - 1) / A100_REFERENCE_SAMPLES_PER_SEC
     print(json.dumps({
         "metric": f"autoreg_{length}x8bar_wall_time",
-        "value": round(med, 3), "unit": "sec/piece",
-        "vs_baseline": round(baseline_s / med, 3), "spread": round(spread, 4),
-        "iters": n_iters,
+        "value": round(per_piece, 3), "unit": "sec/piece",
+        "vs_baseline": round(baseline_s / per_piece, 3), "spread": round(spread, 4),
+        "iters": n_iters, "pieces": pieces,
     }))
 
 
@@ -381,4 +490,5 @@ if __name__ == "__main__":
             f"unknown BENCH_METRIC {metric!r}; choose one of "
             f"{sorted(k for k in dispatch if k)}"
         )
+    _gate_backend_or_die(metric)
     dispatch[metric]()
