@@ -109,6 +109,26 @@ def init_txt_enc(seed: int, emb_size=256, hidden_dim=1024, z_dim=256, num_channe
     return {"rhy_encoder": jax.tree.map(np.asarray, params)}
 
 
+def init_pnotree_enc(seed: int):
+    """Random-init PianoTreeEncoder params in pnotree.npz layout.
+
+    Same rationale as ``init_txt_enc``: the reference conditions sdf_pnotree on
+    a pretrained PianoTree VAE encoder (``models/model_sdf.py:138-151``); with
+    no pretrained weights in this environment, a FROZEN random hierarchical
+    encoder is still a deterministic projection of note content the diffusion
+    model can learn against — document runs as 'random frozen pnotree encoder'.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.encoders import PianoTreeEncoder
+
+    enc = PianoTreeEncoder()
+    pn = jnp.full((1, 32, 20, 6), enc.pitch_pad, jnp.int32)
+    params = enc.init(jax.random.PRNGKey(seed), pn)["params"]
+    return jax.tree.map(np.asarray, params)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--kind", required=True)
@@ -117,9 +137,9 @@ def main(argv=None):
     p.add_argument(
         "--init",
         action="store_true",
-        help="write RANDOM-INIT params instead of converting (kind=txt_enc only): "
-        "a frozen random texture encoder for environments without the reference's "
-        "pretrained polydis weights",
+        help="write RANDOM-INIT params instead of converting (kind=txt_enc or "
+        "pnotree_enc): a frozen random encoder for environments without the "
+        "reference's pretrained weights",
     )
     p.add_argument("--seed", type=int, default=0, help="--init PRNG seed")
     p.add_argument(
@@ -133,10 +153,16 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.init:
-        assert args.kind == "txt_enc", "--init currently supports kind=txt_enc"
-        tree = init_txt_enc(args.seed)
+        if args.kind == "txt_enc":
+            tree = init_txt_enc(args.seed)
+            label = "texture"
+        elif args.kind == "pnotree_enc":
+            tree = init_pnotree_enc(args.seed)
+            label = "pnotree"
+        else:
+            raise SystemExit("--init supports kind=txt_enc or pnotree_enc")
         save_params_npz(tree, args.output)
-        print(f"wrote random-init (seed {args.seed}) texture encoder -> {args.output}")
+        print(f"wrote random-init (seed {args.seed}) {label} encoder -> {args.output}")
         return
     if args.input is None:
         p.error("--input is required unless --init")

@@ -53,6 +53,15 @@ def main(argv=None):
                    help="ZeRO-3 state sharding over dp (parallel/fsdp.py)")
     p.add_argument("--fresh", action="store_true", help="force a new timestamped subdir")
     p.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="override any preset key (YAML-parsed value; repeatable), e.g. "
+        "--set channels=32 --set 'channel_multipliers=[1,2]' — the run dir's "
+        "params.yaml records the overridden config",
+    )
+    p.add_argument(
         "--profile_steps",
         default=None,
         help="START,STOP step window to capture a jax.profiler trace",
@@ -65,6 +74,12 @@ def main(argv=None):
     from .train import ParameterScheduler, TeacherForcingScheduler, Trainer
 
     cfg = load_params(args.model)
+    for kv in args.set:
+        import yaml
+
+        key, _, val = kv.partition("=")
+        assert _, f"--set expects KEY=VALUE, got {kv!r}"
+        cfg[key.strip()] = yaml.safe_load(val)
     if args.batch_size:
         cfg["batch_size"] = args.batch_size
     if args.fsdp:

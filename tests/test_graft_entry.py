@@ -12,6 +12,10 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-UNet/e2e XLA compiles: skip with -m 'not slow'
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -37,6 +41,11 @@ def test_dryrun_multichip_subprocess_driver_env():
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "dryrun_multichip OK" in proc.stdout, proc.stdout
+    # all five layouts must execute: dp / dp x tp / fsdp TRAIN steps plus the
+    # dp-sharded and ZeRO-3-weights SAMPLING paints (VERDICT r3 item 6)
+    assert proc.stdout.count("dryrun_multichip OK") == 5, proc.stdout
+    assert "dp-sharded DDIM paint" in proc.stdout, proc.stdout
+    assert "ZeRO-3-sharded weights" in proc.stdout, proc.stdout
 
 
 def test_dryrun_provisioning_respects_larger_existing_flag():
