@@ -31,6 +31,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # `-m "not slow"` keeps the edit loop honest on the one-core host: the
+    # slow set is the full-UNet parity/e2e recompiles (minutes each, cold)
+    config.addinivalue_line(
+        "markers", "slow: heavy XLA recompiles (full-UNet parity, e2e training)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -17,6 +17,8 @@ import jax.numpy as jnp  # noqa: E402
 from polyffusion_tpu.convert.torch_import import ddpm_unet_params_from_torch  # noqa: E402
 from polyffusion_tpu.models.ddpm_unet import DDPMUNet  # noqa: E402
 
+pytestmark = pytest.mark.slow  # full-UNet/e2e XLA compiles: skip with -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def torch_unet():

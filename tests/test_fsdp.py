@@ -15,6 +15,10 @@ from polyffusion_tpu.parallel.mesh import init_on_cpu
 from polyffusion_tpu.tasks import SDFTask
 from polyffusion_tpu.train import create_state, make_optimizer, make_train_step
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-UNet/e2e XLA compiles: skip with -m 'not slow'
+
 
 def test_fsdp_policy_shards_large_leaves_only():
     task = SDFTask(CFG)

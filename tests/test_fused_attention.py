@@ -12,6 +12,8 @@ import pytest
 from polyffusion_tpu.ops.attention import _einsum_attention
 from polyffusion_tpu.ops.fused_attention import fused_self_attention
 
+pytestmark = pytest.mark.slow  # full-UNet/e2e XLA compiles: skip with -m 'not slow'
+
 
 @pytest.mark.parametrize("t,d,bh", [(256, 64, 8), (1024, 64, 4), (128, 128, 6)])
 def test_fused_matches_einsum_fp32(t, d, bh):

@@ -7,6 +7,8 @@ import pytest
 
 from polyffusion_tpu.ops.fused_gn_conv import _reference, gn_silu_conv3x3
 
+pytestmark = pytest.mark.slow  # full-UNet/e2e XLA compiles: skip with -m 'not slow'
+
 
 def _rand(shape, rng, dtype=np.float32):
     return jnp.asarray(rng.standard_normal(shape).astype(np.float32), dtype)

@@ -12,6 +12,8 @@ from polyffusion_tpu.ops.gn_bwd import (
     group_norm_affine,
 )
 
+pytestmark = pytest.mark.slow  # full-UNet/e2e XLA compiles: skip with -m 'not slow'
+
 
 def _autodiff_grads(x, scale, bias, num_groups, eps, co):
     def loss(x, scale, bias):

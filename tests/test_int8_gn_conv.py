@@ -15,6 +15,8 @@ from polyffusion_tpu.ops.fused_gn_conv import (
     quantize_conv_kernel,
 )
 
+pytestmark = pytest.mark.slow  # full-UNet/e2e XLA compiles: skip with -m 'not slow'
+
 
 def _rand(shape, rng, dtype=np.float32):
     return jnp.asarray(rng.standard_normal(shape).astype(np.float32), dtype)

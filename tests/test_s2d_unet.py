@@ -14,6 +14,8 @@ import pytest
 
 from polyffusion_tpu.models.unet import UNetModel
 
+pytestmark = pytest.mark.slow  # full-UNet/e2e XLA compiles: skip with -m 'not slow'
+
 
 def _small_unet():
     return UNetModel(

@@ -31,6 +31,8 @@ LatentDiffusion, SDFSampler, TorchDDIM = import_reference_samplers()
 
 from stable_diffusion.model.unet import UNetModel as TorchUNet  # noqa: E402
 
+pytestmark = pytest.mark.slow  # full-UNet/e2e XLA compiles: skip with -m 'not slow'
+
 T = 60  # tiny schedule for test speed
 TINY = dict(
     in_channels=2,

@@ -18,6 +18,8 @@ from polyffusion_tpu.parallel.tp import (
 from polyffusion_tpu.tasks import SDFTask
 from polyffusion_tpu.train import create_state, make_optimizer, make_train_step
 
+pytestmark = pytest.mark.slow  # full-UNet/e2e XLA compiles: skip with -m 'not slow'
+
 CFG = Params(
     model_name="tp_test", batch_size=8, learning_rate=1e-4, max_grad_norm=10,
     bf16=False, in_channels=2, out_channels=2, channels=32,

@@ -14,6 +14,8 @@ from polyffusion_tpu.train import Trainer
 
 from synth import make_song_npz
 
+pytestmark = pytest.mark.slow  # full-UNet/e2e XLA compiles: skip with -m 'not slow'
+
 TINY_CFG = Params(
     model_name="sdf_test",
     batch_size=8,

@@ -19,6 +19,8 @@ import jax.numpy as jnp  # noqa: E402
 from polyffusion_tpu.convert import unet_params_from_torch  # noqa: E402
 from polyffusion_tpu.models.unet import UNetModel, timestep_embedding  # noqa: E402
 
+pytestmark = pytest.mark.slow  # full-UNet/e2e XLA compiles: skip with -m 'not slow'
+
 TINY = dict(
     in_channels=2,
     out_channels=2,
