@@ -454,50 +454,52 @@ class InferenceSession:
         mask_mid = get_autoreg_data(mask_nhwc, axis=2, seg_axis=1)
         noise_mid = get_autoreg_data(noise, axis=2, seg_axis=1)
 
+        # Device-resident loop: push the (P, B, ...) stacks ONCE, slice and
+        # force-update on device, pull the stitched result ONCE at the end.
+        # The remote-attached chip makes per-window host round trips the
+        # dominant cost (CLAUDE.md: 100-1000x a local chip); with everything
+        # jnp the 2B-1 sequential paints dispatch asynchronously and nothing
+        # blocks until the final gather.
+        orig_d, mask_d, noise_d = map(jnp.asarray, (orig_nhwc, mask_nhwc, noise))
+        orig_mid_d, mask_mid_d, noise_mid_d = map(
+            jnp.asarray, (orig_mid, mask_mid, noise_mid)
+        )
+        conds_d, cond_mids_d = jnp.asarray(conds), jnp.asarray(cond_mids)
+
         uncond_seg = jnp.asarray(-np.ones((P, 1, self.cfg.d_cond), np.float32))
         scale_arg = jnp.float32(uncond_scale)
         paint = self._paint_fn(uncond_scale)
 
-        gen = []  # list of (P, half, W, C)
+        gen = []  # list of (P, half, W, C) device arrays
         prev_half = None
         for idx in range(B * 2 - 1):
             if idx % 2 == 1:
                 c, o, m, nz = (
-                    cond_mids[:, idx // 2],
-                    orig_mid[:, idx // 2].copy(),
-                    mask_mid[:, idx // 2].copy(),
-                    noise_mid[:, idx // 2],
+                    cond_mids_d[:, idx // 2],
+                    orig_mid_d[:, idx // 2],
+                    mask_mid_d[:, idx // 2],
+                    noise_mid_d[:, idx // 2],
                 )
             else:
                 c, o, m, nz = (
-                    conds[:, idx // 2],
-                    orig_nhwc[:, idx // 2].copy(),
-                    mask_nhwc[:, idx // 2].copy(),
-                    noise[:, idx // 2],
+                    conds_d[:, idx // 2],
+                    orig_d[:, idx // 2],
+                    mask_d[:, idx // 2],
+                    noise_d[:, idx // 2],
                 )
             if idx != 0:
-                o[:, 0:half] = prev_half
-                m[:, 0:half] = 1.0
-            xt = self._q_sample_start(jnp.asarray(o), jnp.asarray(nz))
-            x0 = np.asarray(
-                paint(
-                    self.params,
-                    xt,
-                    jnp.asarray(c),
-                    self._next_rng(),
-                    jnp.asarray(o),
-                    jnp.asarray(m),
-                    jnp.asarray(nz),
-                    uncond_seg,
-                    scale_arg,
-                )
+                o = o.at[:, 0:half].set(prev_half)
+                m = m.at[:, 0:half].set(1.0)
+            xt = self._q_sample_start(o, nz)
+            x0 = paint(
+                self.params, xt, c, self._next_rng(), o, m, nz, uncond_seg, scale_arg
             )
             if idx == 0:
                 gen.append(x0[:, 0:half])
             prev_half = x0[:, half:]
             gen.append(prev_half)
 
-        stacked = np.stack(gen, axis=1)  # (P, 2B, half, W, C)
+        stacked = np.asarray(jnp.stack(gen, axis=1))  # (P, 2B, half, W, C)
         return np.transpose(stacked, (0, 1, 4, 2, 3))
 
     # -- user-facing ops ----------------------------------------------------------

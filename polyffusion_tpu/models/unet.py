@@ -84,6 +84,11 @@ class FP32GroupNorm(nn.Module):
         c1 = x.shape[-1] // fold
         c = c1 + (x2.shape[-1] // fold if x2 is not None else 0)
         g = self.num_groups
+        assert c % g == 0 and c >= g, (
+            f"GroupNorm needs channels divisible by its {g} groups, got {c} — "
+            f"every `channels` x multiplier in the config must be a multiple of {g} "
+            f"(the reference fixes normalization(32) groups, unet_attention.py)"
+        )
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
