@@ -32,17 +32,66 @@ SUBBEAT_COUNT = 8
 # ---------------------------------------------------------------------------
 
 
+def _is_percussive(instrument) -> bool:
+    """Drums or high-program (>112, the GM percussive bank) channels are
+    excluded from chord features (reference midi_utilities.py:172-175)."""
+    return instrument.is_drum or instrument.program > 112
+
+
 def _piano_roll(instrument, fs: int = 100) -> np.ndarray:
-    """(frames, 128) boolean-ish roll like pretty_midi get_piano_roll().T."""
+    """(frames, 128) roll with pretty_midi ``Instrument.get_piano_roll().T``
+    semantics: velocity-summed notes, sustain-pedal (CC64) running-max
+    extension, pitch-bend shifting — the reference's channel weights are
+    computed from exactly this roll (rule_based_channel_reweight.py:35-48)."""
     if not instrument.notes:
         return np.zeros((0, 128))
-    end = max(n.end for n in instrument.notes)
-    roll = np.zeros((int(end * fs) + 1, 128))
+    end = instrument.get_end_time()
+    n_frames = int(fs * end)
+    roll = np.zeros((128, n_frames))
     for n in instrument.notes:
-        roll[int(n.start * fs) : max(int(n.end * fs), int(n.start * fs) + 1), n.pitch] = (
-            n.velocity
-        )
-    return roll
+        roll[n.pitch, int(n.start * fs) : int(n.end * fs)] += n.velocity
+
+    # sustain pedal: within a pedal-down span each pitch retains its running max
+    time_pedal_on = 0
+    is_pedal_on = False
+    for cc in instrument.control_changes:
+        if cc.number != 64:
+            continue
+        time_now = int(cc.time * fs)
+        is_down = cc.value >= 64
+        if not is_pedal_on and is_down:
+            time_pedal_on = time_now
+            is_pedal_on = True
+        elif is_pedal_on and not is_down:
+            sub = roll[:, time_pedal_on:time_now]
+            roll[:, time_pedal_on:time_now] = np.maximum.accumulate(sub, axis=1)
+            is_pedal_on = False
+
+    # pitch bends: shift the bent span by the (possibly fractional) semitone amount
+    bends = sorted(instrument.pitch_bends, key=lambda b: b.time)
+    for i, bend in enumerate(bends):
+        if abs(bend.pitch) < 1:
+            continue
+        end_t = bends[i + 1].time if i + 1 < len(bends) else end
+        semis = 2.0 * bend.pitch / 8192.0
+        bend_int = int(np.sign(semis) * np.floor(np.abs(semis)))
+        bend_dec = float(np.abs(semis - bend_int))
+        rng = np.r_[int(bend.time * fs) : int(end_t * fs)]
+        bent = np.zeros((128, rng.shape[0]))
+        if bend.pitch >= 0:
+            if bend_int != 0:
+                bent[bend_int:] = roll[:-bend_int][:, rng]
+            else:
+                bent = roll[:, rng]
+            bent[1:] = (1 - bend_dec) * bent[1:] + bend_dec * bent[:-1]
+        else:
+            if bend_int != 0:
+                bent[:bend_int] = roll[-bend_int:][:, rng]
+            else:
+                bent = roll[:, rng]
+            bent[:-1] = (1 - bend_dec) * bent[:-1] + bend_dec * bent[1:]
+        roll[:, rng] = bent
+    return roll.T
 
 
 def _channel_thickness(roll: np.ndarray) -> float:
@@ -65,9 +114,9 @@ def _channel_bass_property(roll: np.ndarray) -> Tuple[float, float]:
 
 
 def thickness_and_bass_weights(midi: MidiFile) -> np.ndarray:
-    """Per-non-drum-channel chroma weights: thicker channels count more; the
-    bassiest active channel is forced to weight 1 (reference :35-47)."""
-    rolls = [_piano_roll(ins) for ins in midi.instruments if not ins.is_drum]
+    """Per-non-percussive-channel chroma weights: thicker channels count more;
+    the bassiest active channel is forced to weight 1 (reference :35-47)."""
+    rolls = [_piano_roll(ins) for ins in midi.instruments if not _is_percussive(ins)]
     if not rolls:
         return np.array([])
     thickness = np.array([_channel_thickness(r) for r in rolls])
@@ -150,7 +199,7 @@ class ChordRecognizer:
 
         ch = 0
         for ins in midi.instruments:
-            if ins.is_drum:
+            if _is_percussive(ins):
                 continue
             w = channel_weights[ch]
             for note in ins.notes:
@@ -284,9 +333,17 @@ def read_chordlab(fpath: str) -> List[Tuple[float, float, str]]:
 
 def transcribe_midi(midi_path: str, output_path: Optional[str] = None):
     """Recognize chords in a MIDI file; optionally write a chordlab file
-    (reference ``transcribe_cb1000_midi``, main.py:58-69)."""
+    (reference ``transcribe_cb1000_midi``, main.py:58-69).
+
+    The effective frame grid is BEAT-level (extra_division=1): the reference's
+    ``process_chord`` builds a half-beat grid locally but ``ChordRecognition``
+    reads ``entry.beat`` — the MidiBeatExtractor proxy output with its default
+    ``div=1`` (midi_utilities.py:14, main.py:34-53) — so the half-beat grid is
+    dead code and the shipped golden output (chord_extractor/example.out) is
+    beat-level.  Verified by exact-parity against that golden file in
+    tests/test_chord_golden.py."""
     midi = load_midi(midi_path)
-    rows = ChordRecognizer().recognize(midi, extra_division=2)
+    rows = ChordRecognizer().recognize(midi, extra_division=1)
     if output_path:
         write_chordlab(rows, output_path)
     return rows

@@ -34,11 +34,35 @@ class Note:
 
 
 @dataclass
+class ControlChange:
+    number: int
+    value: int
+    time: float  # seconds
+
+
+@dataclass
+class PitchBend:
+    pitch: int  # signed, -8192..8191 (pretty_midi convention)
+    time: float  # seconds
+
+
+@dataclass
 class Instrument:
     program: int = 0
     is_drum: bool = False
     name: str = ""
     notes: List[Note] = field(default_factory=list)
+    control_changes: List[ControlChange] = field(default_factory=list)
+    pitch_bends: List[PitchBend] = field(default_factory=list)
+
+    def get_end_time(self) -> float:
+        """Latest note-off / CC / pitch-bend time (pretty_midi Instrument semantics)."""
+        events = (
+            [n.end for n in self.notes]
+            + [c.time for c in self.control_changes]
+            + [b.time for b in self.pitch_bends]
+        )
+        return max(events, default=0.0)
 
 
 @dataclass
@@ -70,11 +94,16 @@ class MidiFile:
     time_signatures: List[TimeSignature] = field(default_factory=list)
     lyrics: List[Lyric] = field(default_factory=list)
     max_tick: int = 0
+    # last control-change / pitch-bend / stored-meta time (seconds); pretty_midi's
+    # get_end_time() includes these, and the chord extractor's beat grid runs to
+    # that end (a trailing CC fade after the last note extends the beats)
+    event_end_time: float = 0.0
 
     # -- metric structure ---------------------------------------------------
 
     def get_end_time(self) -> float:
-        return max((n.end for ins in self.instruments for n in ins.notes), default=0.0)
+        note_end = max((n.end for ins in self.instruments for n in ins.notes), default=0.0)
+        return max(note_end, self.event_end_time)
 
     def _tempo_at(self) -> List[TempoChange]:
         if not self.tempo_changes:
@@ -167,6 +196,9 @@ def load_midi(fpath: str) -> MidiFile:
     # per (track, channel): instrument events
     track_events = []  # list of (tick, kind, ch, a, b) per track
     max_tick = 0
+    # max tick of events pretty_midi counts toward get_end_time(): control
+    # changes, pitch bends, and stored meta (time/key signature, lyric, text)
+    event_end_tick = 0
 
     for raw in raw_tracks:
         p = 0
@@ -188,8 +220,12 @@ def load_midi(fpath: str) -> MidiFile:
                     )
                 elif meta_type == 0x58 and mlen >= 2:
                     ts_events.append((tick, payload[0], 1 << payload[1]))
+                    event_end_tick = max(event_end_tick, tick)
                 elif meta_type == 0x05:
                     lyric_events.append((tick, payload.decode("latin-1", "replace")))
+                    event_end_tick = max(event_end_tick, tick)
+                elif meta_type in (0x01, 0x59):  # text / key signature
+                    event_end_tick = max(event_end_tick, tick)
                 elif meta_type == 0x2F:
                     break
             elif b0 in (0xF0, 0xF7):  # sysex
@@ -205,6 +241,8 @@ def load_midi(fpath: str) -> MidiFile:
                     a, b = raw[p], raw[p + 1]
                     p += 2
                     events.append((tick, kind, ch, a, b))
+                    if kind in (0xB0, 0xE0):
+                        event_end_tick = max(event_end_tick, tick)
                 elif kind in (0xC0, 0xD0):
                     a = raw[p]
                     p += 1
@@ -241,28 +279,53 @@ def load_midi(fpath: str) -> MidiFile:
     ]
     midi.lyrics = [Lyric(text, tick_to_sec(tk)) for tk, text in sorted(lyric_events)]
     midi.max_tick = max_tick
+    midi.event_end_time = tick_to_sec(event_end_tick)
 
-    # assemble instruments: one per (track, channel, program-at-first-note)
+    # assemble instruments: one per (track, channel, program-at-first-note);
+    # control changes / pitch bends attach to the same (channel, program) bucket
+    # so pretty_midi-style piano rolls (sustain pedal, bends) can be rebuilt
     for events in track_events:
         per_channel_program = {}
         instruments = {}
         active = {}  # (ch, pitch) -> (tick, velocity)
+
+        def bucket(ch):
+            prog = per_channel_program.get(ch, 0)
+            key = (ch, prog)
+            if key not in instruments:
+                instruments[key] = Instrument(program=prog, is_drum=(ch == 9))
+            return instruments[key]
+
         for tick, kind, ch, a, b in sorted(events, key=lambda e: e[0]):
             if kind == 0xC0:
                 per_channel_program[ch] = a
             elif kind == 0x90 and b > 0:
                 active.setdefault((ch, a), []).append((tick, b))
             elif kind == 0x80 or (kind == 0x90 and b == 0):
+                # pretty_midi pairing: one note-off closes ALL open notes of
+                # this pitch except ones that started on the same tick (those
+                # stay open; zero-length notes are never emitted)
                 stack = active.get((ch, a))
                 if stack:
-                    on_tick, vel = stack.pop(0)
-                    prog = per_channel_program.get(ch, 0)
-                    key = (ch, prog)
-                    if key not in instruments:
-                        instruments[key] = Instrument(program=prog, is_drum=(ch == 9))
-                    instruments[key].notes.append(
-                        Note(tick_to_sec(on_tick), tick_to_sec(tick), a, vel, on_tick, tick)
-                    )
+                    keep = [(t, v) for t, v in stack if t == tick]
+                    ins = bucket(ch)
+                    for on_tick, vel in stack:
+                        if on_tick != tick:
+                            ins.notes.append(
+                                Note(
+                                    tick_to_sec(on_tick), tick_to_sec(tick), a, vel, on_tick, tick
+                                )
+                            )
+                    if keep:
+                        active[(ch, a)] = keep
+                    else:
+                        del active[(ch, a)]
+            elif kind == 0xB0:
+                bucket(ch).control_changes.append(ControlChange(a, b, tick_to_sec(tick)))
+            elif kind == 0xE0:
+                bucket(ch).pitch_bends.append(
+                    PitchBend(((b << 7) | a) - 8192, tick_to_sec(tick))
+                )
         for ins in instruments.values():
             ins.notes.sort(key=lambda n: (n.start, n.pitch))
             if ins.notes:
