@@ -4,11 +4,12 @@ Semantics follow the reference pipeline (``chord_extractor/midi_chord.py``,
 ``chord_extractor/main.py``, ``extractors/rule_based_channel_reweight.py``) with
 vectorized NumPy feature building and decoding:
 
-1. build a half-beat grid from the MIDI's beats/downbeats;
+1. build a beat grid from the MIDI's beats/downbeats (the reference's effective
+   grid is beat-level - see transcribe_midi);
 2. per-channel-weighted note-overlap chroma per beat + sub-beat lowest-pitch bass
    chroma;
 3. segment the grid by dynamic programming over segment lengths <= 12 beats
-   scored against the 605-class template bank, with length/downbeat/even-beat
+   scored against the 529-class template bank, with length/downbeat/even-beat
    bonuses, segments never crossing more than one downbeat;
 4. emit ``(start_sec, end_sec, label)`` rows (chordlab format).
 """

@@ -1,8 +1,8 @@
-"""Chord template bank: 12 roots x 34 qualities + inversions + N = 605 classes.
+"""Chord template bank: 12 roots x (32 qualities + 12 inversion slots) + N = 529 classes.
 
 Same class vocabulary and scoring semantics as the reference bank
 (``chord_extractor/chord_class.py:5-139``) but scoring is fully vectorized: one
-(N, 12) @ (12, C) matmul per feature instead of a Python loop over 605 classes
+(N, 12) @ (12, C) matmul per feature instead of a Python loop over 529 classes
 (~80x faster on the data-prep hot path).
 """
 
