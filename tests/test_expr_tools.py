@@ -104,6 +104,19 @@ def test_txt_acc_metrics_validity():
     denser[0, ::8, 67] = 1.0
     assert X.density_corr(roll, denser) == pytest.approx(1.0)
 
+    # saturation regression (round-4 finding): an onset-DENSE generation (a
+    # melody moving in 16ths puts an onset at every step) must not make the
+    # skeleton F1 a function of the source alone — the register bands keep
+    # pairing sensitivity.  Two sources: comping on beats vs off-beats.
+    dense = np.zeros_like(roll)
+    dense[0, :, 80] = 1.0  # high-register 16th-note melody: every step active
+    src_on = np.zeros_like(roll)
+    src_on[0, ::4, 40] = 1.0  # bass hits on beats
+    src_off = np.zeros_like(roll)
+    src_off[0, 2::4, 40] = 1.0  # bass hits off beats
+    dense_on = dense + src_on  # generation that copied src_on's bass rhythm
+    assert X.onset_step_f1(dense_on, src_on) > X.onset_step_f1(dense_on, src_off)
+
 
 def test_txt_acc_experiment_runs(data_dir, tmp_path):
     """txt_acc sweeps scales against a frozen random texture encoder and emits
