@@ -16,10 +16,17 @@ Endpoints (JSON in / JSON out):
                              "chord": [[...one-hot (32, 36)...], ...]}   (optional)
                        reply {"midi_b64": ..., "integrity_err": 0.01,
                               "num": 4, "device_ms": ...}
+    POST /generate_long -> body {"length": 4, "num": 2, "uncond_scale": 1.0,
+                                 "seed": ..., "chord": ...}   (all but length optional)
+                       reply {"pieces": [{"midi_b64": ...}, ...], ...}
 
-``chord`` (one (32, 36) one-hot matrix per requested sample) conditions
-chord-cond models; omitted -> unconditional (-1) conditioning, matching the
-reference's uncond prompts.
+``chord`` (one (32, 36) one-hot matrix per requested sample; for
+/generate_long one (length*32, 36) matrix per piece) conditions chord-cond
+models; omitted -> unconditional (-1) conditioning, matching the reference's
+uncond prompts.  /generate_long is the reference's --autoreg --length path
+(sliding 8-bar windows, 4-bar overlap) served resident: pieces are batched
+through the same window loop (piece axis padded to --batch_size, so it
+reuses the exact executable /generate warmed — any length, no new compiles).
 """
 
 from __future__ import annotations
@@ -173,6 +180,76 @@ class GenerationWorker:
             self._count(1, num)
         return self._package(gen, device_ms)
 
+    def generate_long(self, length: int, num: int = 1, uncond_scale: float = 1.0,
+                      seed=None, chord=None):
+        """Arbitrary-length autoregressive generation (sliding 8-bar windows
+        with 4-bar overlap — the reference's --autoreg --length path,
+        inference_sdf.py:227-283).
+
+        ``length``: number of 8-bar window positions (>= 2).  ``num``: pieces;
+        independent pieces ride the SAME 2*length-1 sequential windows as one
+        piece-batched paint per window.  The piece axis is padded to the
+        worker's batch size, so this reuses the exact executable the 8-bar
+        /generate path warmed — any length compiles nothing new.
+
+        ``chord``: optional per-piece chord matrices, shape
+        (num, length*32, 14-free one-hot (32,36) rows...) — concretely a list
+        of ``num`` matrices of shape (length*32, 36): 32 beat rows per window;
+        mid-window conditions are derived with the same 4-bar roll the CLI
+        uses (``get_autoreg_data``).  Omitted -> unconditional (-1) windows.
+        """
+        import jax
+
+        from .inference import get_autoreg_data
+
+        assert length >= 2, "length must be >= 2 (one window is plain /generate)"
+        assert 1 <= num <= self.batch, f"num must be in [1, {self.batch}]"
+        self._warn_cold_scale(uncond_scale)
+        d = self.cfg.d_cond
+        if chord is not None:
+            chord = np.asarray(chord, np.float32)
+            assert chord.shape == (num, length * 32, 36), (
+                f"chord shape {chord.shape} != ({num}, {length * 32}, 36)"
+            )
+            wins = chord.reshape(num, length, 32, 36)
+            # mid windows (last 16 beats of window i + first 16 of i+1): the
+            # same roll the CLI applies (song_conditions, inference.py:591)
+            mids = get_autoreg_data(wins, axis=2, seg_axis=1)[:, : length - 1]
+            cond = np.asarray(self.task.encode_chord(wins.reshape(-1, 32, 36)))
+            cond = cond.reshape(num, length, 1, -1)
+            cond_mid = np.asarray(self.task.encode_chord(mids.reshape(-1, 32, 36)))
+            cond_mid = cond_mid.reshape(num, length - 1, 1, -1)
+            assert cond.shape[-1] == d, f"cond dim {cond.shape[-1]} != d_cond {d}"
+        else:
+            cond = -np.ones((num, length, 1, d), np.float32)
+            cond_mid = -np.ones((num, length - 1, 1, d), np.float32)
+        if num < self.batch:  # pad the PIECE axis: same executable as /generate
+            cond = np.concatenate(
+                [cond, np.repeat(cond[-1:], self.batch - num, axis=0)], axis=0
+            )
+            cond_mid = np.concatenate(
+                [cond_mid, np.repeat(cond_mid[-1:], self.batch - num, axis=0)], axis=0
+            )
+        with self._lock:
+            if seed is not None:
+                self.session.rng = jax.random.PRNGKey(int(seed))
+            t0 = time.time()
+            gen = self.session.predict(
+                cond, cond_mid, uncond_scale=uncond_scale, autoreg=True
+            )[:num]  # (num, 2*length, C, 64, W)
+            device_ms = (time.time() - t0) * 1000.0
+            self.last_device_ms = device_ms
+        self._count(1, int(num))
+        pieces = []
+        for p in range(num):
+            pieces.append(self._package(gen[p], device_ms))
+        return {
+            "pieces": pieces,
+            "num": int(num),
+            "length": int(length),
+            "device_ms": round(device_ms, 1),
+        }
+
 
 class RequestQueue:
     """Coalesces concurrent /generate requests into one padded device batch.
@@ -319,18 +396,27 @@ def make_handler(worker: GenerationWorker, rqueue: "RequestQueue | None" = None)
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/generate":
+            if self.path not in ("/generate", "/generate_long"):
                 return self._reply(404, {"error": "unknown path"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                call = rqueue.submit if rqueue is not None else worker.generate
-                out = call(
-                    num=int(req.get("num", 1)),
-                    uncond_scale=float(req.get("uncond_scale", 1.0)),
-                    seed=req.get("seed"),
-                    chord=req.get("chord"),
-                )
+                if self.path == "/generate_long":
+                    out = worker.generate_long(
+                        length=int(req.get("length", 2)),
+                        num=int(req.get("num", 1)),
+                        uncond_scale=float(req.get("uncond_scale", 1.0)),
+                        seed=req.get("seed"),
+                        chord=req.get("chord"),
+                    )
+                else:
+                    call = rqueue.submit if rqueue is not None else worker.generate
+                    out = call(
+                        num=int(req.get("num", 1)),
+                        uncond_scale=float(req.get("uncond_scale", 1.0)),
+                        seed=req.get("seed"),
+                        chord=req.get("chord"),
+                    )
                 self._reply(200, out)
             except AssertionError as e:
                 self._reply(400, {"error": str(e)})

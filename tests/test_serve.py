@@ -246,3 +246,72 @@ def test_healthz_reports_warmup_failure(worker):
     finally:
         worker.warm_error = None
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# long-form (autoregressive) generation — round 4
+# ---------------------------------------------------------------------------
+
+
+def test_generate_long_uncond(worker):
+    """/generate_long: sliding-window autoreg served resident; pieces padded
+    to the worker batch so it reuses the /generate executable."""
+    out = worker.generate_long(length=3, num=1, uncond_scale=1.0, seed=11)
+    assert out["num"] == 1 and out["length"] == 3
+    assert len(out["pieces"]) == 1
+    piece = out["pieces"][0]
+    midi = base64.b64decode(piece["midi_b64"])
+    assert midi[:4] == b"MThd"
+    assert 0.0 <= piece["integrity_err"] <= 1.0
+
+    # seeded requests reproduce byte-for-byte
+    again = worker.generate_long(length=3, num=1, uncond_scale=1.0, seed=11)
+    assert again["pieces"][0]["midi_b64"] == piece["midi_b64"]
+
+    # two pieces through the same windows: distinct music per piece
+    two = worker.generate_long(length=3, num=2, uncond_scale=1.0, seed=12)
+    assert len(two["pieces"]) == 2
+    assert two["pieces"][0]["midi_b64"] != two["pieces"][1]["midi_b64"]
+
+
+def test_generate_long_with_chord(worker):
+    chord = np.zeros((1, 3 * 32, 36), np.float32)
+    chord[:, :, 0] = 1.0
+    out = worker.generate_long(length=3, num=1, uncond_scale=1.0,
+                               chord=chord.tolist(), seed=5)
+    assert out["num"] == 1 and len(out["pieces"]) == 1
+
+    # malformed chord (wrong window count) -> assertion, not a crash
+    with pytest.raises(AssertionError):
+        worker.generate_long(length=3, num=1, chord=chord[:, :64].tolist())
+
+
+def test_generate_long_validation(worker):
+    with pytest.raises(AssertionError):
+        worker.generate_long(length=1, num=1)  # one window = plain /generate
+    with pytest.raises(AssertionError):
+        worker.generate_long(length=3, num=worker.batch + 1)
+
+
+def test_generate_long_http(worker):
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        body = json.dumps({"length": 2, "num": 1, "uncond_scale": 1.0, "seed": 4})
+        conn.request("POST", "/generate_long", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = json.loads(resp.read())
+        assert len(out["pieces"]) == 1
+        assert base64.b64decode(out["pieces"][0]["midi_b64"])[:4] == b"MThd"
+
+        conn.request("POST", "/generate_long", body=json.dumps({"length": 1}),
+                     headers={"Content-Type": "application/json"})
+        assert conn.getresponse().status == 400
+    finally:
+        server.shutdown()
