@@ -351,6 +351,131 @@ def ddim_q_sample(
     )
 
 
+def dpmpp_paint(
+    apply_fn: ApplyFn,
+    params,
+    dd: DDIMSchedule,
+    x: jnp.ndarray,
+    cond: jnp.ndarray,
+    t_start: int,
+    rng: Optional[jax.Array] = None,
+    *,
+    orig: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    orig_noise: Optional[jnp.ndarray] = None,
+    uncond_scale: float = 1.0,
+    uncond_cond: Optional[jnp.ndarray] = None,
+    cond_concat: Optional[jnp.ndarray] = None,
+    order: int = 2,
+) -> jnp.ndarray:
+    """DPM-Solver++ multistep ODE sampling (beyond-reference; Lu et al.,
+    arXiv:2211.01095, Algorithm 2 "2M") over the same discrete tau grid and
+    schedule tables as the DDIM sampler.
+
+    Data-prediction parameterization: with ``a = sqrt(alpha_bar)``,
+    ``s = sqrt(1 - alpha_bar)``, ``lambda = log(a/s)``, ``h_i = lambda_prev - lambda``,
+    one transition is::
+
+        x <- (s_prev / s) * x - a_prev * expm1(-h_i) * D
+
+    where ``D`` is the first-order ``x0`` prediction (``order=1`` — algebraically
+    IDENTICAL to the DDIM eta=0 update, pinned by tests/test_dpmpp.py) or the
+    second-order multistep combination
+    ``(1 + 1/(2r)) x0_i - 1/(2r) x0_{i-1}`` with ``r = h_{i-1}/h_i`` (``order=2``),
+    which reuses the previous step's prediction at zero extra UNet cost.  The
+    practical payoff on the serving path: DDIM-50-grade sample quality at
+    10-20 NFEs (measured in PARITY.md).
+
+    Deterministic (probability-flow ODE): ``rng`` is only used to draw
+    ``orig_noise`` for the inpainting blend when one isn't supplied.  Masked
+    inpainting follows the DDIM paint convention (``sampler_ddim.py:301-362``):
+    after each transition the known region is re-noised to the current tau
+    level with the FIXED ``orig_noise``; the multistep x0 history tracks the
+    blended trajectory.  With ``orig is None`` this is plain generation.
+    """
+    if order not in (1, 2):
+        raise ValueError(f"dpmpp order must be 1 or 2, got {order}")
+    eps_fn = make_eps_fn(apply_fn, uncond_scale, uncond_cond)
+
+    # per-index coefficient tables, lambda-space in float64 on host
+    a2 = dd.alpha.astype(np.float64)
+    ap2 = dd.alpha_prev.astype(np.float64)
+    a_t, s_t = np.sqrt(a2), np.sqrt(1.0 - a2)
+    a_p, s_p = np.sqrt(ap2), np.sqrt(1.0 - ap2)
+    h_t = (np.log(a_p / s_p) - np.log(a_t / s_t)).astype(np.float32)
+    a_t, s_t = a_t.astype(np.float32), s_t.astype(np.float32)
+    a_p, s_p = a_p.astype(np.float32), s_p.astype(np.float32)
+    tab = tuple(jnp.asarray(v) for v in (a_t, s_t, a_p, s_p, h_t))
+
+    steps = jnp.asarray(dd.time_steps[: t_start + 1][::-1].copy())
+    n = len(dd.time_steps[: t_start + 1])
+    indices = jnp.asarray(np.arange(n - 1, -1, -1), jnp.int32)
+    ks = jnp.arange(n, dtype=jnp.int32)
+
+    masked = orig is not None
+    if masked:
+        assert mask is not None
+        if orig_noise is None:
+            orig_noise = jax.random.normal(rng, orig.shape, orig.dtype)
+        alpha_sqrt = jnp.asarray(dd.alpha_sqrt)
+        sqrt_1m = jnp.asarray(dd.sqrt_one_minus_alpha)
+
+    def body(carry, inp):
+        xc, x0_prev, h_prev = carry
+        step, index, k = inp
+        ta, ts_, tap, tsp, th = tab
+        bsz = xc.shape[0]
+        tvec = jnp.full((bsz,), step, dtype=jnp.int32)
+        e_t = eps_fn(params, xc, tvec, cond, cond_concat).astype(xc.dtype)
+        x0 = (xc - ts_[index] * e_t) / ta[index]
+        hh = th[index]
+        if order == 2:
+            # first transition has no history: fall back to the 1st-order D
+            r = jnp.where(k == 0, jnp.float32(1.0), h_prev / hh)
+            c = 0.5 / r
+            d = jnp.where(k == 0, x0, (1.0 + c) * x0 - c * x0_prev)
+        else:
+            d = x0
+        xn = (tsp[index] / ts_[index]) * xc - tap[index] * jnp.expm1(-hh) * d
+        if masked:
+            orig_t = alpha_sqrt[index] * orig + sqrt_1m[index] * orig_noise
+            xn = orig_t * mask + xn * (1.0 - mask)
+        return (xn, x0, hh), None
+
+    carry0 = (x, jnp.zeros_like(x), jnp.float32(0.0))
+    (x, _, _), _ = jax.lax.scan(body, carry0, (steps, indices, ks))
+    return x
+
+
+def dpmpp_sample(
+    apply_fn: ApplyFn,
+    params,
+    dd: DDIMSchedule,
+    x_last: jnp.ndarray,
+    cond: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    *,
+    uncond_scale: float = 1.0,
+    uncond_cond: Optional[jnp.ndarray] = None,
+    t_start: int = 0,
+    order: int = 2,
+) -> jnp.ndarray:
+    """Plain DPM-Solver++ generation over the full (reversed) tau grid; ``t_start``
+    skips leading transitions exactly like ``ddim_sample``."""
+    return dpmpp_paint(
+        apply_fn,
+        params,
+        dd,
+        x_last,
+        cond,
+        dd.n_steps - 1 - t_start,
+        rng,
+        uncond_scale=uncond_scale,
+        uncond_cond=uncond_cond,
+        order=order,
+    )
+
+
 def ddim_paint(
     apply_fn: ApplyFn,
     params,

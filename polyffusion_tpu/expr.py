@@ -359,6 +359,9 @@ def main(argv=None):
                    help="chd_acc/txt_acc: comma-separated CFG scales to sweep")
     p.add_argument("--ddim", action="store_true")
     p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--dpmpp", action="store_true",
+                   help="DPM-Solver++ sampler on an --ddim_steps-sized tau grid")
+    p.add_argument("--dpm_order", type=int, default=2, choices=[1, 2])
     p.add_argument("--repaint_n", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pretrained_dir", default=None)
@@ -372,6 +375,7 @@ def main(argv=None):
     params = load_unet_params(args.chkpt_path, task)
     session = InferenceSession(
         task, params, use_ddim=args.ddim, ddim_steps=args.ddim_steps,
+        sampler="dpmpp" if args.dpmpp else None, dpm_order=args.dpm_order,
         repaint_n=args.repaint_n, seed=args.seed,
         # one compiled sampler across the whole scale sweep
         traced_cfg_scale=(args.type in ("chd_acc", "txt_acc")),

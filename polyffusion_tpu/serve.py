@@ -66,6 +66,8 @@ class GenerationWorker:
             use_ddim=args.ddim,
             ddim_steps=args.ddim_steps,
             ddim_eta=args.ddim_eta,
+            sampler="dpmpp" if getattr(args, "dpmpp", False) else None,
+            dpm_order=getattr(args, "dpm_order", 2),
             seed=args.seed,
             bf16_params=args.bf16_params,
         )
@@ -440,6 +442,10 @@ def main(argv=None):
     p.add_argument("--ddim", action="store_true")
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--dpmpp", action="store_true",
+                   help="DPM-Solver++ sampler (DDIM-grade quality at 10-20 steps; "
+                   "grid size from --ddim_steps)")
+    p.add_argument("--dpm_order", type=int, default=2, choices=[1, 2])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--bf16_params", action="store_true")
