@@ -478,16 +478,15 @@ class InferenceSession:
                     jax.random.normal(self._next_rng(), (B, h, w, c_out), jnp.float32)
                 )[None]
             else:
+                # one dispatch + one device->host pull for ALL pieces (a per-p
+                # loop costs 2P round trips on the remote-attached chip); the
+                # vmapped fold_in/normal draws the same per-piece streams
                 key = self._next_rng()
-                noise = np.stack(
-                    [
-                        np.asarray(
-                            jax.random.normal(
-                                jax.random.fold_in(key, p), (B, h, w, c_out), jnp.float32
-                            )
-                        )
-                        for p in range(P)
-                    ]
+                keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(jnp.arange(P))
+                noise = np.asarray(
+                    jax.vmap(
+                        lambda k: jax.random.normal(k, (B, h, w, c_out), jnp.float32)
+                    )(keys)
                 )
 
         # mid-window views: time axis 2, segment axis 1 (piece-major)

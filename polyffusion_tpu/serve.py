@@ -77,8 +77,11 @@ class GenerationWorker:
         self.warm = False
         self.warm_error = None  # set if the background warmup thread dies
         self.warmed_scales = []
-        # one chip: serialize generation (warmup thread vs request handlers)
+        # one chip: serialize generation (warmup thread vs request handlers);
+        # stats counters get their own lock so /stats reads never wait on a
+        # device pass (cold compiles hold _lock for tens of minutes)
         self._lock = __import__("threading").Lock()
+        self._stats_lock = __import__("threading").Lock()
 
     def warmup(self, scales=(1.0,)):
         """Compile one executable per CFG scale that will be served.
@@ -121,30 +124,43 @@ class GenerationWorker:
                 f"({self.warmed_scales}) — this request pays a fresh compile"
             )
 
-    def _sample(self, cond, uncond_scale: float, seed=None):
-        """One device pass on a batch-padded cond; returns (gen, device_ms).
+    def _sample(self, cond, uncond_scale: float, seed=None, cond_mid=None,
+                autoreg: bool = False):
+        """One device pass on a leading-axis-padded cond; returns (gen, device_ms).
 
-        The lock serializes against the warmup thread and other dispatchers;
-        stats counters are updated under the same lock (ADVICE r3: the
-        ThreadingHTTPServer made the bare increments racy).
+        Serves both the 8-bar path and the autoregressive long-form path (pass
+        ``cond_mid`` + ``autoreg=True``; the padded axis is then the PIECE
+        axis, so both reuse the same compiled executable).  The device lock
+        serializes against the warmup thread and other dispatchers; stats
+        writes take the separate ``_stats_lock`` so ``/stats`` never blocks on
+        a multi-minute compile or long-form run (review finding, round 4).
         """
         import jax
 
         num = cond.shape[0]
         if num < self.batch:  # pad so the compiled executable is reused
-            pad = np.repeat(cond[-1:], self.batch - num, axis=0)
-            cond = np.concatenate([cond, pad], axis=0)
+            def pad(a):
+                return np.concatenate(
+                    [a, np.repeat(a[-1:], self.batch - num, axis=0)], axis=0
+                )
+
+            cond = pad(cond)
+            if cond_mid is not None:
+                cond_mid = pad(cond_mid)
         with self._lock:
             if seed is not None:
                 self.session.rng = jax.random.PRNGKey(int(seed))
             t0 = time.time()
-            gen = self.session.predict(cond, uncond_scale=uncond_scale)[:num]
+            gen = self.session.predict(
+                cond, cond_mid, uncond_scale=uncond_scale, autoreg=autoreg
+            )[:num]
             device_ms = (time.time() - t0) * 1000.0
+        with self._stats_lock:
             self.last_device_ms = device_ms
         return gen, device_ms
 
     def _count(self, n_requests: int, n_samples: int):
-        with self._lock:
+        with self._stats_lock:
             self.requests += n_requests
             self.samples += n_samples
 
@@ -200,8 +216,6 @@ class GenerationWorker:
         mid-window conditions are derived with the same 4-bar roll the CLI
         uses (``get_autoreg_data``).  Omitted -> unconditional (-1) windows.
         """
-        import jax
-
         from .inference import get_autoreg_data
 
         assert length >= 2, "length must be >= 2 (one window is plain /generate)"
@@ -225,22 +239,10 @@ class GenerationWorker:
         else:
             cond = -np.ones((num, length, 1, d), np.float32)
             cond_mid = -np.ones((num, length - 1, 1, d), np.float32)
-        if num < self.batch:  # pad the PIECE axis: same executable as /generate
-            cond = np.concatenate(
-                [cond, np.repeat(cond[-1:], self.batch - num, axis=0)], axis=0
-            )
-            cond_mid = np.concatenate(
-                [cond_mid, np.repeat(cond_mid[-1:], self.batch - num, axis=0)], axis=0
-            )
-        with self._lock:
-            if seed is not None:
-                self.session.rng = jax.random.PRNGKey(int(seed))
-            t0 = time.time()
-            gen = self.session.predict(
-                cond, cond_mid, uncond_scale=uncond_scale, autoreg=True
-            )[:num]  # (num, 2*length, C, 64, W)
-            device_ms = (time.time() - t0) * 1000.0
-            self.last_device_ms = device_ms
+        # piece axis padded inside _sample: same executable as /generate
+        gen, device_ms = self._sample(
+            cond, uncond_scale, seed, cond_mid=cond_mid, autoreg=True
+        )  # (num, 2*length, C, 64, W)
         self._count(1, int(num))
         pieces = []
         for p in range(num):
@@ -383,7 +385,7 @@ def make_handler(worker: GenerationWorker, rqueue: "RequestQueue | None" = None)
                     },
                 )
             elif self.path == "/stats":
-                with worker._lock:
+                with worker._stats_lock:
                     stats = {
                         "requests": worker.requests,
                         "samples": worker.samples,

@@ -303,8 +303,10 @@ def load_midi(fpath: str) -> MidiFile:
                 active.setdefault((ch, a), []).append((tick, b))
             elif kind == 0x80 or (kind == 0x90 and b == 0):
                 # pretty_midi pairing: one note-off closes ALL open notes of
-                # this pitch except ones that started on the same tick (those
-                # stay open; zero-length notes are never emitted)
+                # this pitch except ones that started on the same tick — and
+                # those stay open ONLY when the off also closed something;
+                # otherwise pretty_midi drops them (zero-length notes from
+                # quantized exports are silently discarded, never left open)
                 stack = active.get((ch, a))
                 if stack:
                     keep = [(t, v) for t, v in stack if t == tick]
@@ -316,7 +318,7 @@ def load_midi(fpath: str) -> MidiFile:
                                     tick_to_sec(on_tick), tick_to_sec(tick), a, vel, on_tick, tick
                                 )
                             )
-                    if keep:
+                    if keep and len(keep) != len(stack):
                         active[(ch, a)] = keep
                     else:
                         del active[(ch, a)]

@@ -97,3 +97,72 @@ def test_chd_writer(tmp_path):
     midi_io.chd_to_midi_file(chd, str(tmp_path / "chd.mid"))
     back = M.load_midi(str(tmp_path / "chd.mid"))
     assert len(back.instruments[0].notes) == 32
+
+
+def test_zero_length_note_dropped_like_pretty_midi(tmp_path):
+    """A note-off that closes NOTHING (all open notes of that pitch started on
+    the same tick) must DROP those notes, exactly like pretty_midi's pairing
+    (`if notes_to_close and notes_to_keep: keep else: del`).  Keeping them open
+    made a later note-off emit a phantom long note spanning from the
+    zero-length note's tick (review finding, round 4)."""
+    import struct
+
+    def varlen(v):
+        out = [v & 0x7F]
+        v >>= 7
+        while v:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        return bytes(reversed(out))
+
+    tpb = 480
+    track = bytearray()
+    track += varlen(0) + bytes([0x90, 60, 80])   # on  @ tick 0
+    track += varlen(0) + bytes([0x80, 60, 0])    # off @ tick 0 (zero-length)
+    track += varlen(100) + bytes([0x90, 60, 90]) # on  @ tick 100
+    track += varlen(100) + bytes([0x80, 60, 0])  # off @ tick 200
+    track += varlen(0) + b"\xff\x2f\x00"
+    data = b"MThd" + struct.pack(">IHHH", 6, 0, 1, tpb)
+    data += b"MTrk" + struct.pack(">I", len(track)) + bytes(track)
+    path = str(tmp_path / "zerolen.mid")
+    with open(path, "wb") as f:
+        f.write(data)
+
+    back = M.load_midi(path)
+    notes = [n for i in back.instruments for n in i.notes]
+    assert [(n.pitch, n.start_tick, n.end_tick) for n in notes] == [(60, 100, 200)]
+
+
+def test_same_tick_off_on_retrigger_keeps_new_note(tmp_path):
+    """When an off closes an older note AND a new note started on the same
+    tick, the same-tick note stays open (pretty_midi keeps it)."""
+    import struct
+
+    def varlen(v):
+        out = [v & 0x7F]
+        v >>= 7
+        while v:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        return bytes(reversed(out))
+
+    tpb = 480
+    track = bytearray()
+    track += varlen(0) + bytes([0x90, 64, 80])    # on  @ 0
+    track += varlen(100) + bytes([0x90, 64, 90])  # retrigger on @ 100
+    track += varlen(0) + bytes([0x80, 64, 0])     # off @ 100: closes the @0 note
+    track += varlen(100) + bytes([0x80, 64, 0])   # off @ 200: closes the @100 note
+    track += varlen(0) + b"\xff\x2f\x00"
+    data = b"MThd" + struct.pack(">IHHH", 6, 0, 1, tpb)
+    data += b"MTrk" + struct.pack(">I", len(track)) + bytes(track)
+    path = str(tmp_path / "retrigger.mid")
+    with open(path, "wb") as f:
+        f.write(data)
+
+    back = M.load_midi(path)
+    notes = sorted(
+        (n.pitch, n.start_tick, n.end_tick)
+        for i in back.instruments
+        for n in i.notes
+    )
+    assert notes == [(64, 0, 100), (64, 100, 200)]

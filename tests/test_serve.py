@@ -40,6 +40,7 @@ def worker():
     w.warm_error = None
     w.warmed_scales = [1.0]
     w._lock = threading.Lock()
+    w._stats_lock = threading.Lock()
     return w
 
 
