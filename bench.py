@@ -138,16 +138,25 @@ def wait_for_backend(
         sleep(min(interval_s * (2 ** min(attempts - 1, 3)), remaining))
 
 
-# BENCH_METRIC key -> the metric name its JSON line would have carried, so an
-# outage record is attributable to the workload that was being measured
-_METRIC_NAMES = {
-    "": "8bar_samples_per_sec_ddim50_cfg",
-    "headline": "8bar_samples_per_sec_ddim50_cfg",
-    "train": "train_step_time_batch16",
-    "ddpm1000": "8bar_samples_per_sec_ddpm1000_uncond",
-    "autoreg": "autoreg_10x8bar_wall_time",
-    "inpaint": "8bar_samples_per_sec_inpaint_below_ddim50_cfg",
-}
+def _metric_name(metric_key):
+    """BENCH_METRIC key -> the metric name its JSON line would have carried, so
+    an outage record is attributable to the workload that was being measured.
+    Parameterized workloads read the same env knobs the workload itself does
+    (a BENCH_AUTOREG_LEN=5 outage must not be recorded as 10x8bar)."""
+    if metric_key == "autoreg":
+        return f"autoreg_{os.environ.get('BENCH_AUTOREG_LEN', '10')}x8bar_wall_time"
+    if metric_key == "dpm":
+        return (
+            "8bar_samples_per_sec_dpmpp"
+            f"{os.environ.get('BENCH_DPM_STEPS', '16')}_cfg"
+        )
+    return {
+        "": "8bar_samples_per_sec_ddim50_cfg",
+        "headline": "8bar_samples_per_sec_ddim50_cfg",
+        "train": "train_step_time_batch16",
+        "ddpm1000": "8bar_samples_per_sec_ddpm1000_uncond",
+        "inpaint": "8bar_samples_per_sec_inpaint_below_ddim50_cfg",
+    }.get(metric_key, metric_key)
 
 
 def _gate_backend_or_die(metric_key):
@@ -160,7 +169,7 @@ def _gate_backend_or_die(metric_key):
     ok, attempts = wait_for_backend(probe_cmd=probe_cmd)
     if not ok:
         print(json.dumps({
-            "metric": _METRIC_NAMES.get(metric_key, metric_key),
+            "metric": _metric_name(metric_key),
             "error": "tpu_tunnel_down",
             "probe_attempts": attempts,
             "probe_window_s": PROBE_WINDOW_S,
@@ -264,6 +273,50 @@ def main():
             }
         )
     )
+
+
+def main_dpm():
+    """Opt-in: the headline workload sampled with DPM-Solver++ 2M at
+    BENCH_DPM_STEPS (default 16) NFEs instead of DDIM-50.  The quality-parity
+    evidence (control fidelity at 16 vs 50 steps) lives in PARITY.md; this
+    measures the resulting serving throughput on the same batch-64 CFG setup."""
+    import jax
+    import jax.numpy as jnp
+
+    steps = int(os.environ.get("BENCH_DPM_STEPS", "16"))
+    from polyffusion_tpu.diffusion import make_ddim_schedule
+    from polyffusion_tpu.diffusion.sampler import dpmpp_sample
+
+    task, session, cfg = _flagship_session()
+    params, schedule = session.params, session.schedule
+    dd = make_ddim_schedule(schedule, steps, "uniform", 0.0)
+
+    cond = jnp.zeros((BATCH, 1, cfg.d_cond), jnp.float32)
+    uncond = -jnp.ones_like(cond)
+    rng = jax.random.PRNGKey(0)
+    x_last = jax.random.normal(rng, (BATCH, 128, 128, 2), jnp.float32)
+
+    @jax.jit
+    def sample(x_last, cond, uncond):
+        return dpmpp_sample(
+            task.apply_eps, params, dd, x_last, cond,
+            uncond_scale=CFG_SCALE, uncond_cond=uncond, order=2,
+        )
+
+    sample(x_last, cond, uncond).block_until_ready()  # compile + warm
+
+    def one_iter(i):
+        sample(x_last, cond, uncond).block_until_ready()
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    med, spread = _measure(one_iter, n_iters)
+    v = BATCH / med
+    print(json.dumps({
+        "metric": f"8bar_samples_per_sec_dpmpp{steps}_cfg",
+        "value": round(v, 3), "unit": "samples/sec/chip",
+        "vs_baseline": round(v / A100_REFERENCE_SAMPLES_PER_SEC, 3),
+        "spread": round(spread, 4), "iters": n_iters, "nfe": steps,
+    }))
 
 
 def main_train():
@@ -481,6 +534,7 @@ if __name__ == "__main__":
         "ddpm1000": main_ddpm1000,
         "autoreg": main_autoreg,
         "inpaint": main_inpaint,
+        "dpm": main_dpm,
     }
     metric = os.environ.get("BENCH_METRIC", "")
     if metric not in dispatch:
