@@ -30,6 +30,10 @@ named configs; the default is the headline):
                 piece (reference inference_sdf.py:227-283, --autoreg --length 10)
     inpaint     inpaint-below throughput at DDIM-50 + CFG-5, batch 64
                 (reference inference_sdf.py --inpaint_type below)
+    dpm         DPM-Solver++ 2M at BENCH_DPM_STEPS (default 16) NFEs + CFG
+    distill     progressively-distilled student: BENCH_DISTILL_STEPS (default 4)
+                single-batched v-prediction evals, guidance baked in
+                (distill.py; quality tables in PARITY.md)
 ``POLYFF_BF16_PARAMS=0`` disables the bfloat16 sampling weights (fp32 weights
 were the round-1 configuration, 10.2-10.3 samples/s).
 
@@ -149,6 +153,11 @@ def _metric_name(metric_key):
         return (
             "8bar_samples_per_sec_dpmpp"
             f"{os.environ.get('BENCH_DPM_STEPS', '16')}_cfg"
+        )
+    if metric_key == "distill":
+        return (
+            "8bar_samples_per_sec_distilled"
+            f"{os.environ.get('BENCH_DISTILL_STEPS', '4')}_cfgbaked"
         )
     return {
         "": "8bar_samples_per_sec_ddim50_cfg",
@@ -319,6 +328,61 @@ def main_dpm():
     }))
 
 
+def main_distill():
+    """Opt-in: the progressively-distilled serving configuration — a v-prediction
+    student on its BENCH_DISTILL_STEPS-tau grid (default 4), guidance baked in so
+    each step is ONE single-batched UNet eval (vs the headline's 100 double-
+    batched evals).  Random weights: throughput is weight-independent; the
+    distillation quality evidence lives in PARITY.md "Progressive distillation".
+    A100 denominator: same guided-generation task -> 2.0 samples/s."""
+    import jax
+    import jax.numpy as jnp
+
+    steps = int(os.environ.get("BENCH_DISTILL_STEPS", "4"))
+    from polyffusion_tpu.diffusion import make_ddim_schedule
+    from polyffusion_tpu.diffusion.progressive import halving_grids
+    from polyffusion_tpu.diffusion.sampler import ddim_sample
+
+    task, session, cfg = _flagship_session(_extra_cfg={
+        "v_prediction": True, "distilled_scale": CFG_SCALE,
+    })
+    params, schedule = session.params, session.schedule
+    grid = halving_grids(schedule.n_steps, 64, steps)[-1]
+    dd = make_ddim_schedule(schedule, time_steps=grid)
+
+    cond = jnp.zeros((BATCH, 1, cfg.d_cond), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x_last = jax.random.normal(rng, (BATCH, 128, 128, 2), jnp.float32)
+
+    @jax.jit
+    def sample(x_last, cond, key):
+        # uncond_scale=1.0 static -> single cond pass; the student IS guided
+        return ddim_sample(task.apply_eps, params, dd, x_last, cond, key)
+
+    sample(x_last, cond, rng).block_until_ready()  # compile + warm
+
+    # a single 4-step batch is ~0.25 s of device work — too small to time
+    # through the relay (completion acks return early; CLAUDE.md).  Chain
+    # BENCH_DISTILL_REPEAT batches per timed iteration so each unit is >~2 s.
+    repeat = int(os.environ.get("BENCH_DISTILL_REPEAT", "8"))
+
+    def one_iter(i):
+        for k in range(repeat):
+            out = sample(x_last, cond, jax.random.fold_in(rng, i * repeat + k))
+        out.block_until_ready()
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    med, spread = _measure(one_iter, n_iters)
+    v = BATCH * repeat / med
+    print(json.dumps({
+        "metric": f"8bar_samples_per_sec_distilled{steps}_cfgbaked",
+        "value": round(v, 3), "unit": "samples/sec/chip",
+        "vs_baseline": round(v / A100_REFERENCE_SAMPLES_PER_SEC, 3),
+        "spread": round(spread, 4), "iters": n_iters, "nfe": steps,
+        "repeat": repeat,
+    }))
+
+
 def main_train():
     """Secondary metric: full training step time on the flagship config.
 
@@ -402,7 +466,7 @@ def main_train():
     )
 
 
-def _flagship_session(**kw):
+def _flagship_session(_extra_cfg=None, **kw):
     """Random-weight flagship task + InferenceSession (speed is weight-independent)."""
     import jax
 
@@ -417,6 +481,8 @@ def _flagship_session(**kw):
 
     cfg = load_params("sdf_chd8bar")
     cfg["bf16"] = True
+    if _extra_cfg:
+        cfg.update(_extra_cfg)
     task = SDFTask(cfg)
     params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
     session = InferenceSession(
@@ -535,6 +601,7 @@ if __name__ == "__main__":
         "autoreg": main_autoreg,
         "inpaint": main_inpaint,
         "dpm": main_dpm,
+        "distill": main_distill,
     }
     metric = os.environ.get("BENCH_METRIC", "")
     if metric not in dispatch:

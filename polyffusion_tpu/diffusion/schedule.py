@@ -121,9 +121,18 @@ def make_ddim_schedule(
     n_ddim_steps: int = 50,
     discretize: str = "uniform",
     eta: float = 0.0,
+    time_steps=None,
 ) -> DDIMSchedule:
+    """``time_steps``: optional EXPLICIT ascending tau grid (overrides
+    ``n_ddim_steps``/``discretize``) — progressively-distilled students must be
+    sampled on exactly the grid they were distilled onto (``distill_grid`` in
+    their run's params.yaml; diffusion/progressive.py)."""
     n_steps = schedule.n_steps
-    if discretize == "uniform":
+    if time_steps is not None:
+        time_steps = np.asarray(time_steps, np.int64)
+        assert time_steps.ndim == 1 and (np.diff(time_steps) > 0).all()
+        assert 0 <= time_steps[0] and time_steps[-1] < n_steps
+    elif discretize == "uniform":
         c = n_steps // n_ddim_steps
         time_steps = np.arange(0, n_steps, c, dtype=np.int64) + 1
     elif discretize == "quad":

@@ -358,7 +358,9 @@ def main(argv=None):
     p.add_argument("--scales", default="0,1,3,5",
                    help="chd_acc/txt_acc: comma-separated CFG scales to sweep")
     p.add_argument("--ddim", action="store_true")
-    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--ddim_steps", type=int, default=None,
+                   help="tau grid size (default: 50, or a distilled "
+                   "checkpoint's own grid)")
     p.add_argument("--dpmpp", action="store_true",
                    help="DPM-Solver++ sampler on an --ddim_steps-sized tau grid")
     p.add_argument("--dpm_order", type=int, default=2, choices=[1, 2])

@@ -164,7 +164,7 @@ class InferenceSession:
         params,
         *,
         use_ddim: bool = False,
-        ddim_steps: int = 50,
+        ddim_steps: Optional[int] = None,
         ddim_eta: float = 0.0,
         ddim_discretize: str = "uniform",
         sampler: Optional[str] = None,
@@ -232,15 +232,51 @@ class InferenceSession:
         self.use_ddim = sampler in ("ddim", "dpmpp")  # tau-grid samplers
         self.repaint_n = repaint_n
         self.schedule = task.schedule
+        # progressively-distilled students (distill.py) carry their exact tau
+        # grid and baked-in guidance scale in the run config; stage-B students
+        # must be sampled on THAT grid (stage-A-only students work on any grid)
+        grid = task.cfg.get("distill_grid")
+        self.distilled_scale = (
+            task.cfg.get("distilled_scale") if task.cfg.get("v_prediction") else None
+        )
+        self._scale_warned = False
+        if grid is not None and not self.use_ddim:
+            print(
+                "[inference] WARNING: distilled (stage-B) checkpoint sampled with "
+                f"the {self.schedule.n_steps}-step ancestral DDPM sampler — the "
+                f"student was trained only on its {len(grid)}-step grid; use the "
+                "ddim/dpmpp sampler"
+            )
+        # ddim_steps=None: the distilled checkpoint's own grid if it has one,
+        # else 50 — resolved HERE so every caller (inference/serve/expr CLIs)
+        # inherits the pin, and an explicit ddim_steps always wins
+        if ddim_steps is None:
+            ddim_steps = 50 if grid is None else len(grid)
+            if grid is not None and self.use_ddim:
+                print(
+                    f"[inference] distilled checkpoint: using its "
+                    f"{ddim_steps}-step grid"
+                )
+        on_grid = self.use_ddim and grid is not None and ddim_steps == len(grid)
         self.ddim = (
-            make_ddim_schedule(self.schedule, ddim_steps, ddim_discretize, ddim_eta)
+            make_ddim_schedule(
+                self.schedule, ddim_steps, ddim_discretize, ddim_eta,
+                time_steps=np.asarray(grid) if on_grid else None,
+            )
             if self.use_ddim
             else None
         )
+        if self.use_ddim and grid is not None and not on_grid:
+            print(
+                f"[inference] note: distilled grid has {len(grid)} steps; sampling "
+                f"on a uniform {ddim_steps}-step grid instead (valid for stage-A "
+                f"students, off-distribution for stage-B ones)"
+            )
         self.ddim_label = (
             f"dpmpp{dpm_order}m_{ddim_steps}_{ddim_discretize}"
             if sampler == "dpmpp"
-            else f"ddim{ddim_steps}_eta{ddim_eta}_{ddim_discretize}"
+            else f"ddim{ddim_steps}_eta{ddim_eta}_"
+            + ("distilled" if on_grid else ddim_discretize)
         )
         self.rng = jax.random.PRNGKey(seed)
         self.traced_cfg = traced_cfg_scale
@@ -381,6 +417,17 @@ class InferenceSession:
         """
         import jax.numpy as jnp
 
+        if (
+            self.distilled_scale is not None
+            and uncond_scale != 1.0
+            and not self._scale_warned
+        ):
+            self._scale_warned = True
+            print(
+                f"[inference] note: this student bakes in CFG scale "
+                f"{self.distilled_scale}; sample it at --uncond_scale 1 "
+                f"(got {uncond_scale}: that guidance applies ON TOP)"
+            )
         if autoreg:
             assert cond_mid is not None, "autoreg needs the mid-window conditions"
             if cond.ndim == 4:  # (P, B, 1, d): piece-batched
@@ -687,7 +734,8 @@ def _main_ddpm(cfg, args):
         cond = jnp.zeros((b, 1, 1))
         if args.ddim:
             dd = make_ddim_schedule(
-                task.schedule, args.ddim_steps, args.ddim_discretize, args.ddim_eta
+                task.schedule, args.ddim_steps or 50, args.ddim_discretize,
+                args.ddim_eta,
             )
             gen = S.ddim_sample(task.apply_eps, params, dd, x_last, cond, k2)
         else:
@@ -711,7 +759,9 @@ def main(argv=None):
     p.add_argument("--num_generate", type=int, default=1)
     p.add_argument("--autoreg", action="store_true")
     p.add_argument("--ddim", action="store_true")
-    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--ddim_steps", type=int, default=None,
+                   help="tau grid size (default: 50, or a distilled "
+                   "checkpoint's own grid)")
     p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--ddim_discretize", default="uniform", choices=["uniform", "quad"])
     p.add_argument(

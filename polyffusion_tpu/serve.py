@@ -442,7 +442,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8763)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--ddim", action="store_true")
-    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--ddim_steps", type=int, default=None,
+                   help="tau grid size (default: 50, or a distilled "
+                   "checkpoint's own grid)")
     p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--dpmpp", action="store_true",
                    help="DPM-Solver++ sampler (DDIM-grade quality at 10-20 steps; "

@@ -68,6 +68,17 @@ class SDFTask:
         )
         self.schedule = make_schedule(cfg.n_steps, cfg.linear_start, cfg.linear_end)
 
+        # distilled students predict v instead of eps (diffusion/progressive.py;
+        # the ``v_prediction: true`` key is written by the distill CLI) — the
+        # instance-level adapter shadows the eps method so every sampler keeps
+        # its eps contract; ``apply_raw`` stays the unadapted net for the
+        # distillation loss itself
+        self.v_prediction = bool(cfg.get("v_prediction", False))
+        if self.v_prediction:
+            from ..diffusion.progressive import make_v_to_eps_apply
+
+            self.apply_eps = make_v_to_eps_apply(self.apply_raw, self.schedule)
+
         self.chord_enc, self.chord_enc_params = chord_enc, chord_enc_params
         self.txt_enc, self.txt_enc_params = txt_enc, txt_enc_params
         self.pnotree_enc, self.pnotree_enc_params = pnotree_enc, pnotree_enc_params
@@ -181,10 +192,19 @@ class SDFTask:
     # samplers fork CFG inside the UNet (compute shared prefix once)
     apply_eps.supports_cfg_fork = True
 
+    def apply_raw(self, params, x, t, cond, cfg_fork: bool = False):
+        """The net's raw output head (eps for normal models, v for distilled
+        students) — unlike ``apply_eps``, never wrapped by the v->eps adapter."""
+        return self.unet.apply({"params": params}, x, t, cond, cfg_fork=cfg_fork)
+
     def loss_fn(
         self, params, batch, rng: jax.Array, sched_params: Dict
     ) -> Tuple[jnp.ndarray, Dict]:
         del sched_params
+        assert not self.v_prediction, (
+            "v-prediction checkpoints come from the distill CLI; direct "
+            "eps-objective training of a v model is unsupported"
+        )
         from ..data.loader import decompress_batch
 
         batch = decompress_batch(batch)  # uint8 wire dtypes -> compute dtypes

@@ -198,12 +198,20 @@ class Trainer:
 
     # -- the loop ---------------------------------------------------------------
 
-    def fit(self, train_dl, val_dl, seed: int = 0, resume: bool = True):
+    def fit(self, train_dl, val_dl, seed: int = 0, resume: bool = True,
+            init_params=None):
+        """``init_params``: optional explicit initial parameters (distillation
+        initializes each student FROM its teacher instead of random init)."""
         from ..parallel.mesh import init_on_cpu, replicated
 
         rng = jax.random.PRNGKey(seed)
         init_rng, step_rng = jax.random.split(rng)
-        params = init_on_cpu(self.task.init_params, init_rng)
+        if init_params is not None:
+            # host copies: the train state is DONATED every step, and the same
+            # buffers typically also serve as the frozen teacher
+            params = jax.tree_util.tree_map(lambda x: np.array(x), init_params)
+        else:
+            params = init_on_cpu(self.task.init_params, init_rng)
         print(f"[model] {param_count(params) / 1e6:.2f}M trainable params")
         state = create_state(params, self.optimizer, ema_decay=self.ema_decay)
         if resume:
@@ -215,6 +223,15 @@ class Trainer:
                 state = jax.device_put(state, infer_fsdp_sharding(state, self.mesh))
             else:
                 state = jax.device_put(state, replicated(self.mesh))
+
+        # frozen-teacher tasks (tasks/distill.py): place the frozen pytree once;
+        # it rides every step as a replicated, non-donated argument
+        frozen = ()
+        if getattr(self.task, "has_frozen", False):
+            assert self.task.frozen is not None, "distill task: set task.frozen first"
+            dest = replicated(self.mesh) if self.mesh is not None else jax.devices()[0]
+            frozen = (jax.device_put(self.task.frozen, dest),)
+        self._frozen = frozen
 
         max_epoch = int(self.cfg.get("max_epoch", 1))
         start_step = int(state.step)
@@ -237,7 +254,9 @@ class Trainer:
                 if self.profile_steps and step_i == self.profile_steps[0]:
                     jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
                 sched_vals = self._sched_vals(step_i)
-                state, metrics = self.train_step(state, tuple(batch), step_rng, sched_vals)
+                state, metrics = self.train_step(
+                    state, tuple(batch), step_rng, sched_vals, *frozen
+                )
                 if self.profile_steps and step_i + 1 == self.profile_steps[1]:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), metrics
@@ -290,8 +309,11 @@ class Trainer:
         agg: Dict[str, float] = {}
         n = 0
         sched_vals = self._sched_vals(int(state.step))  # one sync per validation
+        frozen = getattr(self, "_frozen", ())
         for batch in val_dl:
-            metrics = self.eval_step(state.params, tuple(batch), rng, sched_vals)
+            metrics = self.eval_step(
+                state.params, tuple(batch), rng, sched_vals, *frozen
+            )
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
             losses.append(float(metrics["loss"]))

@@ -33,14 +33,22 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None, f
     ``fsdp``: ZeRO-3 state sharding over the ``dp`` axis (parallel/fsdp.py) —
     params/moments/EMA sharded instead of replicated; GSPMD inserts the weight
     all-gathers and gradient reduce-scatters.
-    """
 
-    def step(state: TrainState, batch, rng, sched_vals):
+    Tasks with ``has_frozen = True`` (tasks/distill.py) take an extra pytree of
+    frozen, non-donated inputs — teacher params + phase tables — as a TRACED
+    argument, so changing them between distillation phases reuses the same
+    executable; the step signature gains a trailing ``frozen`` arg.
+    """
+    has_frozen = getattr(task, "has_frozen", False)
+
+    def step(state: TrainState, batch, rng, sched_vals, *frozen):
         sched_params = dict(zip(sched_keys, sched_vals))
         sched_params["global_step"] = state.step
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_of(params):
+            if has_frozen:
+                return task.loss_fn(params, frozen[0], batch, rng, sched_params)
             return task.loss_fn(params, batch, rng, sched_params)
 
         (loss, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
@@ -67,6 +75,9 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None, f
         return jax.jit(step, donate_argnums=(0,))
 
     bsh, rep = batch_sharding(mesh), replicated(mesh)
+    extra = (rep,) if has_frozen else ()  # frozen pytree: replicated, not donated
+    if has_frozen and "tp" in mesh.axis_names:
+        raise ValueError("distillation (frozen-teacher tasks) on a tp mesh is unimplemented")
     if fsdp and "tp" in mesh.axis_names:
         # the tp branch below returns first and would silently drop fsdp —
         # a user asking for ZeRO-3 on a tp mesh must hear about it (ADVICE r3)
@@ -120,17 +131,17 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None, f
             return jax.jit(
                 step,
                 donate_argnums=(0,),
-                in_shardings=(state_sh, bsh, rep, rep),
+                in_shardings=(state_sh, bsh, rep, rep) + extra,
                 out_shardings=(state_sh, rep),
             )
 
         compiled_fsdp = {}
 
-        def dispatch_fsdp(state, batch, rng, sched_vals):
+        def dispatch_fsdp(state, batch, rng, sched_vals, *frozen):
             key = jax.tree_util.tree_structure(state)
             if key not in compiled_fsdp:
                 compiled_fsdp[key] = fsdp_jit(state)
-            return compiled_fsdp[key](state, batch, rng, sched_vals)
+            return compiled_fsdp[key](state, batch, rng, sched_vals, *frozen)
 
         return dispatch_fsdp
 
@@ -138,7 +149,7 @@ def make_train_step(task, optimizer, mesh=None, sched_keys=(), ema_decay=None, f
     return jax.jit(
         step,
         donate_argnums=(0,),
-        in_shardings=(state_sh, bsh, rep, rep),
+        in_shardings=(state_sh, bsh, rep, rep) + extra,
         out_shardings=(state_sh, rep),
     )
 
@@ -149,13 +160,21 @@ def make_eval_step(task, mesh=None, sched_keys=(), fsdp=False):
     ``fsdp``: inherit the params' resident (ZeRO-3) shardings instead of
     forcing a replication gather before every validation pass."""
 
-    def step(params, batch, rng, sched_vals):
+    has_frozen = getattr(task, "has_frozen", False)
+
+    def step(params, batch, rng, sched_vals, *frozen):
         sched_params = dict(zip(sched_keys, sched_vals))
-        loss, metrics = task.loss_fn(params, batch, rng, sched_params)
+        if has_frozen:
+            loss, metrics = task.loss_fn(params, frozen[0], batch, rng, sched_params)
+        else:
+            loss, metrics = task.loss_fn(params, batch, rng, sched_params)
         return dict(metrics)
 
     if mesh is None:
         return jax.jit(step)
     bsh, rep = batch_sharding(mesh), replicated(mesh)
+    extra = (rep,) if has_frozen else ()
     params_sh = None if fsdp else rep  # None = keep the argument's sharding
-    return jax.jit(step, in_shardings=(params_sh, bsh, rep, rep), out_shardings=rep)
+    return jax.jit(
+        step, in_shardings=(params_sh, bsh, rep, rep) + extra, out_shardings=rep
+    )

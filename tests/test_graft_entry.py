@@ -41,9 +41,12 @@ def test_dryrun_multichip_subprocess_driver_env():
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "dryrun_multichip OK" in proc.stdout, proc.stdout
-    # all five layouts must execute: dp / dp x tp / fsdp TRAIN steps plus the
-    # dp-sharded and ZeRO-3-weights SAMPLING paints (VERDICT r3 item 6)
-    assert proc.stdout.count("dryrun_multichip OK") == 5, proc.stdout
+    # all seven layouts must execute: dp / dp x tp / fsdp TRAIN steps, the
+    # dp + fsdp DISTILLATION steps (frozen-teacher traced-arg protocol), plus
+    # the dp-sharded and ZeRO-3-weights SAMPLING paints (VERDICT r3 item 6)
+    assert proc.stdout.count("dryrun_multichip OK") == 7, proc.stdout
+    assert "dp distillation step" in proc.stdout, proc.stdout
+    assert "fsdp distillation step" in proc.stdout, proc.stdout
     assert "dp-sharded DDIM paint" in proc.stdout, proc.stdout
     assert "ZeRO-3-sharded weights" in proc.stdout, proc.stdout
 
