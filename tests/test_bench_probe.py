@@ -77,8 +77,12 @@ def test_probe_recovers_mid_window(tmp_path):
         "raise SystemExit(0 if n >= 2 else 1)\n"
     )
     clock, sleep, _ = _fake_clock_and_sleep()
+    # probe_timeout_s is REAL seconds (subprocess timeout) even though the
+    # retry clock is faked — keep it generous so interpreter startup under a
+    # loaded one-core host can't add spurious timed-out attempts (seen live
+    # while a TPU bench traced concurrently).
     ok, attempts = bench.wait_for_backend(
-        window_s=100, probe_timeout_s=5, interval_s=1,
+        window_s=100, probe_timeout_s=60, interval_s=1,
         probe_cmd=[sys.executable, "-c", script], sleep=sleep, clock=clock,
     )
     assert ok and attempts == 3
