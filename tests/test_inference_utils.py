@@ -168,3 +168,44 @@ def test_autoreg_batched_pieces_differ_without_explicit_noise():
     cond_mids = np.zeros((2, B - 1, 1, cfg.d_cond), np.float32)
     out = session.predict(conds, cond_mids, uncond_scale=0.0, autoreg=True)
     assert not np.array_equal(out[0], out[1])
+
+
+def test_dp_sharded_paint_bit_exact():
+    """dp-batch-sharded DDIM paint == single-device, BIT FOR BIT, under the
+    suite's default XLA flags (TODO.md round-4 item 6).  The driver dryrun
+    re-asserts the same property at 5e-5 because its compile-speed flags
+    (__graft_entry__._provision_virtual_cpu_mesh) move fusion boundaries."""
+    import jax
+
+    from polyffusion_tpu.config import Params
+    from polyffusion_tpu.inference import InferenceSession
+    from polyffusion_tpu.parallel import make_mesh
+    from polyffusion_tpu.tasks import SDFTask
+
+    cfg = Params(
+        model_name="sdf_test", batch_size=8, max_epoch=1, learning_rate=1e-4,
+        max_grad_norm=10, bf16=False, in_channels=2, out_channels=2, channels=32,
+        attention_levels=[1], n_res_blocks=1, channel_multipliers=[1, 2],
+        n_heads=2, tf_layers=1, d_cond=1152, linear_start=0.00085,
+        linear_end=0.012, n_steps=8, img_h=32, img_w=32, cond_type="chord",
+        cond_mode="mix", use_enc=False,
+    )
+    task = SDFTask(cfg)
+    params = task.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    b = 8
+    cond = rng.standard_normal((b, 1, cfg.d_cond)).astype(np.float32)
+    orig = rng.random((b, 2, 32, 32)).astype(np.float32)
+    mask = np.zeros_like(orig)
+    mask[:, :, :16] = 1.0
+    noise = rng.standard_normal((b, 32, 32, 2)).astype(np.float32)
+
+    def run(mesh):
+        s = InferenceSession(
+            task, params, use_ddim=True, ddim_steps=3, seed=0, mesh=mesh
+        )
+        return s.predict(cond, uncond_scale=5.0, orig=orig, mask=mask, noise=noise)
+
+    ref = run(None)
+    dp = run(make_mesh())
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(dp))
