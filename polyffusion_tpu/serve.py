@@ -210,17 +210,27 @@ class GenerationWorker:
         worker's batch size, so this reuses the exact executable the 8-bar
         /generate path warmed — any length compiles nothing new.
 
-        ``chord``: optional per-piece chord matrices, shape
-        (num, length*32, 14-free one-hot (32,36) rows...) — concretely a list
-        of ``num`` matrices of shape (length*32, 36): 32 beat rows per window;
-        mid-window conditions are derived with the same 4-bar roll the CLI
+        ``chord``: optional per-piece chord matrices — a list of ``num``
+        matrices of shape (length*32, 36) (one-hot (root, chroma-bit, bass)
+        rows, 32 beat rows per 8-bar window; utils/reprs.py ``chd_to_onehot``).
+        Mid-window conditions are derived with the same 4-bar roll the CLI
         uses (``get_autoreg_data``).  Omitted -> unconditional (-1) windows.
         """
+        cond, cond_mid = self._long_conds(length, num, chord)
+        self._warn_cold_scale(uncond_scale)
+        # piece axis padded inside _sample: same executable as /generate
+        gen, device_ms = self._sample(
+            cond, uncond_scale, seed, cond_mid=cond_mid, autoreg=True
+        )  # (num, 2*length, C, 64, W)
+        self._count(1, int(num))
+        return self._package_long(gen, length, device_ms)
+
+    def _long_conds(self, length: int, num: int, chord):
+        """Validate + encode a long-form request's window/mid-window conds."""
         from .inference import get_autoreg_data
 
         assert length >= 2, "length must be >= 2 (one window is plain /generate)"
         assert 1 <= num <= self.batch, f"num must be in [1, {self.batch}]"
-        self._warn_cold_scale(uncond_scale)
         d = self.cfg.d_cond
         if chord is not None:
             chord = np.asarray(chord, np.float32)
@@ -239,34 +249,40 @@ class GenerationWorker:
         else:
             cond = -np.ones((num, length, 1, d), np.float32)
             cond_mid = -np.ones((num, length - 1, 1, d), np.float32)
-        # piece axis padded inside _sample: same executable as /generate
-        gen, device_ms = self._sample(
-            cond, uncond_scale, seed, cond_mid=cond_mid, autoreg=True
-        )  # (num, 2*length, C, 64, W)
-        self._count(1, int(num))
-        pieces = []
-        for p in range(num):
-            pieces.append(self._package(gen[p], device_ms))
-        return {
+        return cond, cond_mid
+
+    def _package_long(self, gen, length: int, device_ms: float,
+                      batched_with: int = 0):
+        """Per-piece MIDI + integrity for a (num, 2*length, C, 64, W) slice."""
+        pieces = [self._package(gen[p], device_ms) for p in range(gen.shape[0])]
+        out = {
             "pieces": pieces,
-            "num": int(num),
+            "num": int(gen.shape[0]),
             "length": int(length),
             "device_ms": round(device_ms, 1),
         }
+        if batched_with:
+            out["batched_with"] = int(batched_with)
+        return out
 
 
 class RequestQueue:
-    """Coalesces concurrent /generate requests into one padded device batch.
+    """Coalesces concurrent /generate and /generate_long requests into one
+    padded device batch.
 
     The chip runs ONE fixed-shape executable per CFG scale; a lone num=1
-    request wastes batch-1 padding lanes.  Concurrent requests that share an
-    uncond_scale and carry no explicit seed are merged (up to the padded batch,
-    within a ``coalesce_ms`` window after the first arrival) and served by a
-    single sampling pass — each caller gets its own slice, MIDI, and integrity
-    score.  Seeded requests run solo so seed->output reproducibility holds.
+    request wastes batch-1 padding lanes.  Concurrent requests that share a
+    kind (8-bar vs long-form), an uncond_scale, a length (long-form only), and
+    carry no explicit seed are merged (up to the padded batch, within a
+    ``coalesce_ms`` window after the first arrival) and served by a single
+    sampling pass — each caller gets its own slice, MIDI, and integrity score.
+    For long-form requests the merge axis is the PIECE axis of the
+    piece-batched autoreg paint (the measured 4.70 -> 1.79 s/piece win,
+    PARITY.md).  Seeded requests run solo so seed->output reproducibility
+    holds.
 
     Beyond-reference capability (the reference reloads the model per CLI
-    invocation, inference_sdf.py:735-792); VERDICT r3 weak-item 6.
+    invocation, inference_sdf.py:735-792); VERDICT r3 weak-item 6 + r4 item 7.
     """
 
     def __init__(self, worker: GenerationWorker, coalesce_ms: float = 25.0):
@@ -283,18 +299,32 @@ class RequestQueue:
 
     def submit(self, num: int, uncond_scale: float, seed=None, chord=None):
         """Validate, enqueue, block until the dispatcher fills the result."""
-        import threading
-
         w = self.worker
         assert 1 <= num <= w.batch, f"num must be in [1, {w.batch}]"
         w._warn_cold_scale(uncond_scale)
+        # validate chord shape HERE so a malformed request 400s in its own
+        # handler instead of poisoning a coalesced group
+        return self._enqueue(num, uncond_scale, seed, cond=w._cond(num, chord))
+
+    def submit_long(self, length: int, num: int, uncond_scale: float,
+                    seed=None, chord=None):
+        """Long-form twin of ``submit``: merges on the piece axis."""
+        w = self.worker
+        cond, cond_mid = w._long_conds(length, num, chord)
+        w._warn_cold_scale(uncond_scale)
+        return self._enqueue(num, uncond_scale, seed, cond=cond,
+                             cond_mid=cond_mid, length=int(length))
+
+    def _enqueue(self, num, scale, seed, cond, cond_mid=None, length=None):
+        import threading
+
         item = {
             "num": int(num),
-            "scale": float(uncond_scale),
+            "scale": float(scale),
             "seed": seed,
-            # validate chord shape HERE so a malformed request 400s in its own
-            # handler instead of poisoning a coalesced group
-            "cond": w._cond(num, chord),
+            "cond": cond,
+            "cond_mid": cond_mid,
+            "length": length,  # None = 8-bar /generate
             "done": threading.Event(),
             "result": None,
             "error": None,
@@ -310,6 +340,7 @@ class RequestQueue:
             nxt["seed"] is None
             and first["seed"] is None
             and nxt["scale"] == first["scale"]
+            and nxt["length"] == first["length"]  # same kind AND same length
             and nxt["num"] <= free
         )
 
@@ -340,9 +371,17 @@ class RequestQueue:
 
     def _run(self, group):
         w = self.worker
+        length = group[0]["length"]
         try:
             cond = np.concatenate([it["cond"] for it in group], axis=0)
-            gen, device_ms = w._sample(cond, group[0]["scale"], group[0]["seed"])
+            if length is not None:  # long-form: merge axis = pieces
+                cond_mid = np.concatenate([it["cond_mid"] for it in group], axis=0)
+                gen, device_ms = w._sample(
+                    cond, group[0]["scale"], group[0]["seed"],
+                    cond_mid=cond_mid, autoreg=True,
+                )
+            else:
+                gen, device_ms = w._sample(cond, group[0]["scale"], group[0]["seed"])
         except BaseException as e:  # device failure: fail every caller, keep serving
             for it in group:
                 it["error"] = e if isinstance(e, Exception) else RuntimeError(str(e))
@@ -356,7 +395,14 @@ class RequestQueue:
             sl = gen[off:off + it["num"]]
             off += it["num"]
             try:
-                it["result"] = w._package(sl, device_ms, batched_with=len(group) - 1)
+                if length is not None:
+                    it["result"] = w._package_long(
+                        sl, length, device_ms, batched_with=len(group) - 1
+                    )
+                else:
+                    it["result"] = w._package(
+                        sl, device_ms, batched_with=len(group) - 1
+                    )
             except Exception as e:  # packaging is per-caller
                 it["error"] = e
             it["done"].set()
@@ -406,7 +452,9 @@ def make_handler(worker: GenerationWorker, rqueue: "RequestQueue | None" = None)
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/generate_long":
-                    out = worker.generate_long(
+                    call = (rqueue.submit_long if rqueue is not None
+                            else worker.generate_long)
+                    out = call(
                         length=int(req.get("length", 2)),
                         num=int(req.get("num", 1)),
                         uncond_scale=float(req.get("uncond_scale", 1.0)),
