@@ -248,6 +248,74 @@ def test_halve_distillation_converges(rng):
     assert min(losses[-5:]) < np.mean(losses[:3]) / 5, losses[:3] + losses[-5:]
 
 
+def _ddim_walk(eps_fn, params, grid, x, cond, schedule):
+    """Deterministic DDIM(eta=0) walk down an ascending tau ``grid`` starting
+    from ``x`` at the grid's top level; the bottom step lands on alpha_bar[0]
+    (the ``halving_grids`` prev convention, pinned against the real sampler in
+    test_phase_tables_match_student_ddim_schedule)."""
+    ab = schedule.alpha_bar.astype(np.float64)
+    g = np.asarray(grid)
+    for i in range(len(g) - 1, -1, -1):
+        a_f, s_f = np.sqrt(ab[g[i]]), np.sqrt(1.0 - ab[g[i]])
+        ab_to = ab[g[i - 1]] if i > 0 else ab[0]
+        a_to, s_to = np.sqrt(ab_to), np.sqrt(1.0 - ab_to)
+        t = jnp.full((x.shape[0],), int(g[i]), jnp.int32)
+        eps = eps_fn(params, x, t, cond)
+        x = P.ddim_jump(x, eps, np.float32(a_f), np.float32(s_f),
+                        np.float32(a_to), np.float32(s_to))
+    return np.asarray(x)
+
+
+@pytest.mark.slow
+def test_student_endpoint_beats_naive_ddim(rng):
+    """Sample-space distillation win (PARITY.md "Progressive distillation"):
+    under SHARED start noise and held-out conditions, the trained 4-step
+    student's DDIM endpoint lands closer to the teacher's fine-grid 8-step
+    endpoint than the naive teacher-at-4-steps endpoint does.
+
+    This is the metric the chd_acc fidelity sweep cannot provide: chord
+    identity saturates w.r.t. NFE count (the round-5 fidelity table shows
+    naive DDIM-4 matching DDIM-50 on chd_acc), while endpoint distance to the
+    fine-grid trajectory directly measures the integration error distillation
+    exists to remove."""
+    from polyffusion_tpu.diffusion.progressive import make_v_to_eps_apply
+    from polyffusion_tpu.diffusion.sampler import make_eps_fn
+    from polyffusion_tpu.tasks.distill import DistillTask
+    from polyffusion_tpu.tasks.sdf import SDFTask
+    from polyffusion_tpu.train import create_state, make_optimizer, make_train_step
+
+    base = SDFTask(TINY_CFG)
+    teacher = base.init_params(jax.random.PRNGKey(0))
+    fine, coarse = P.halving_grids(1000, 8, 4)
+    tbl, m = P.pad_tables(P.phase_tables(base.schedule, fine), 4)
+    task = DistillTask(base, 1.5, "halve", teacher_kind="eps_guided")
+    frozen = {"teacher": teacher, "tables": dict(tbl._asdict()), "m": np.int32(m)}
+    optimizer = make_optimizer(1e-3)
+    step = make_train_step(task, optimizer)
+    state = create_state(jax.tree_util.tree_map(np.array, teacher), optimizer)
+    key = jax.random.PRNGKey(7)
+    for i in range(300):  # fresh batch + rng every step: must generalize
+        state, _ = step(state, _tiny_batch(rng), jax.random.fold_in(key, i),
+                        (), frozen)
+    student = jax.device_get(state.params)
+
+    # held-out conditions + shared start noise at the (shared) top tau
+    eval_batch = _tiny_batch(rng)
+    cond = base.encode_cond(eval_batch, None)
+    x_start = rng.standard_normal((4, 32, 32, 2)).astype(np.float32)
+    teacher_eps = make_eps_fn(base.apply_eps, 1.5, -jnp.ones_like(cond))
+    student_eps = make_v_to_eps_apply(base.apply_raw, base.schedule)
+
+    end_fine = _ddim_walk(teacher_eps, teacher, fine, x_start, cond, base.schedule)
+    end_naive = _ddim_walk(teacher_eps, teacher, coarse, x_start, cond, base.schedule)
+    end_student = _ddim_walk(student_eps, student, coarse, x_start, cond,
+                             base.schedule)
+
+    mse_naive = float(np.mean((end_naive - end_fine) ** 2))
+    mse_student = float(np.mean((end_student - end_fine) ** 2))
+    assert mse_student < 0.55 * mse_naive, (mse_student, mse_naive)
+
+
 # ---------------------------------------------------------------------------
 # full pipeline: teacher run -> distill CLI -> v-student inference
 # ---------------------------------------------------------------------------
@@ -348,8 +416,12 @@ def test_distill_cli_stage_a_only(data_dir, tmp_path):
     assert os.path.isdir(os.path.join(out, "chkpts"))  # -> stage_a/chkpts
     task2 = SDFTask(final_cfg)
     params2 = load_unet_params(out, task2)
-    session = InferenceSession(task2, params2, use_ddim=True, ddim_steps=6, seed=0)
-    assert session.ddim.n_steps == 6  # any grid: stage-A students are grid-free
+    # any grid works: stage-A students are grid-free.  Use S=8 (divides
+    # T=1000's quirk-faithful uniform grid evenly); a non-divisor S like 6
+    # yields S+1 taus by design (reference sampler_ddim.py:66 arange size
+    # quirk, reproduced in diffusion/schedule.py).
+    session = InferenceSession(task2, params2, use_ddim=True, ddim_steps=8, seed=0)
+    assert session.ddim.n_steps == 8
 
     # trains-nothing guard
     with pytest.raises(SystemExit):
