@@ -12,6 +12,9 @@ Experiment types:
     txt_acc    texture CONTROL-FIDELITY sweep: generate at --scales, score the
                output's rhythm skeleton / density profile / texture embedding
                against the conditioning source (+ shuffled-pair chance floors)
+    pnt_acc    pnotree CONTROL-FIDELITY sweep: generate at --scales, score the
+               output's exact note cells / rhythm skeleton against the
+               conditioning source (+ shuffled-pair chance floors)
 
     python -m polyffusion_tpu.expr --chkpt_path <run dir> --data_dir <npz dir> \
         --type uncond --batch_num 10 --output_dir exp
@@ -55,6 +58,8 @@ def _full_cond(task, batch) -> np.ndarray:
         zchd = np.asarray(task.encode_chord(np.asarray(batch.chord, np.float32)))
         ztxt = np.asarray(task.encode_txt(np.asarray(batch.prmat, np.float32)))
         return np.concatenate([zchd, ztxt], axis=-1)
+    if task.cond_type == "pnotree":
+        return np.asarray(task.encode_pnotree(np.asarray(batch.pnotree, np.int64)))
     raise NotImplementedError(task.cond_type)
 
 
@@ -333,6 +338,74 @@ def txt_acc(session, task, args):
     return table
 
 
+def note_cell_f1(gen: np.ndarray, src: np.ndarray) -> float:
+    """Exact (step x pitch) onset-cell F1 between two prmat2c images — 'does
+    THIS pitch start at THIS step'.  Unlike the register-banded rhythm F1,
+    exact pitch identity cannot saturate on onset-dense outputs, which is what
+    the pnotree condition (a full note-content encoding) is supposed to pin."""
+    g = np.rint(np.asarray(gen[0], np.float32)).clip(0, 1)
+    s = np.rint(np.asarray(src[0], np.float32)).clip(0, 1)
+    tot = float(g.sum() + s.sum())
+    if tot == 0:
+        return 1.0
+    return float(2.0 * (g * s).sum() / tot)
+
+
+def pnt_acc(session, task, args):
+    """Pnotree CONTROL-FIDELITY sweep (beyond-reference metric; the reference
+    trains the pnotree cond_type, ``model_sdf.py:138-151``, but its eval
+    harness has no quantitative control metric for it).  The pnotree z encodes
+    the conditioning segment's EXACT note content, so with rising CFG scale
+    the generation should reproduce the source's notes.  For each scale,
+    score generated vs conditioning-source prmat2c:
+
+      note_f1    exact (step x pitch) onset-cell F1
+      onset_f1   register-banded rhythm-skeleton F1 (same as txt_acc)
+
+    plus *_shuf chance floors against a shuffled pairing.  Metric rising with
+    scale while shuffled stays flat == the pnotree channel causally steers
+    the output.  Writes pnt_acc.json."""
+    assert task.cond_type == "pnotree", (
+        f"pnt_acc needs a pnotree-conditioned checkpoint, got {task.cond_type}"
+    )
+    scales = [float(s) for s in args.scales.split(",")]
+    batches = list(
+        _batches(args.data_dir, args.batch_size, args.batch_num, split_file=args.split_file)
+    )
+    srcs = np.concatenate([np.asarray(b.prmat2c) for b in batches])
+    rng = np.random.default_rng(args.seed)
+    perm = rng.permutation(len(srcs))
+    while len(srcs) > 1 and np.any(perm == np.arange(len(srcs))):
+        perm = rng.permutation(len(srcs))
+
+    conds = [_full_cond(task, b) for b in batches]
+
+    table = {}
+    for s in scales:
+        gen = np.concatenate([session.predict(c, uncond_scale=s) for c in conds])
+        assert len(gen) == len(srcs)
+        row = {
+            "note_f1": np.mean([note_cell_f1(g, t) for g, t in zip(gen, srcs)]),
+            "note_f1_shuf": np.mean(
+                [note_cell_f1(g, t) for g, t in zip(gen, srcs[perm])]
+            ),
+            "onset_f1": np.mean([onset_step_f1(g, t) for g, t in zip(gen, srcs)]),
+            "onset_f1_shuf": np.mean(
+                [onset_step_f1(g, t) for g, t in zip(gen, srcs[perm])]
+            ),
+        }
+        table[s] = {k: round(float(v), 4) for k, v in row.items()}
+        print(f"scale {s:>4}: " + "  ".join(f"{k}={table[s][k]:.3f}" for k in row))
+
+    import json
+
+    out = os.path.join(args.output_dir, "pnt_acc.json")
+    with open(out, "w") as f:
+        json.dump({"n_samples": len(srcs), "scales": table}, f, indent=1)
+    print(f"pnotree control accuracy table -> {out}")
+    return table
+
+
 EXPERIMENTS = {
     "uncond": prompt_generation,
     "inp_below": acc_arrangement,
@@ -341,6 +414,7 @@ EXPERIMENTS = {
     "txt": txt_conditioning,
     "chd_acc": chd_acc,
     "txt_acc": txt_acc,
+    "pnt_acc": pnt_acc,
 }
 
 
@@ -380,7 +454,7 @@ def main(argv=None):
         sampler="dpmpp" if args.dpmpp else None, dpm_order=args.dpm_order,
         repaint_n=args.repaint_n, seed=args.seed,
         # one compiled sampler across the whole scale sweep
-        traced_cfg_scale=(args.type in ("chd_acc", "txt_acc")),
+        traced_cfg_scale=(args.type in ("chd_acc", "txt_acc", "pnt_acc")),
     )
     os.makedirs(args.output_dir, exist_ok=True)
     EXPERIMENTS[args.type](session, task, args)

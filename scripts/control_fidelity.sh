@@ -6,6 +6,7 @@
 #   scripts/control_fidelity.sh chd   <workdir>   # chord-conditioned sdf_chd8bar
 #   scripts/control_fidelity.sh txt   <workdir>   # texture-conditioned sdf_txt
 #   scripts/control_fidelity.sh joint <workdir>   # chord+texture sdf_chd8bar_txt
+#   scripts/control_fidelity.sh pnt   <workdir>   # pnotree-conditioned sdf_pnotree
 #
 # Each mode: synth corpus -> (pretrain frozen encoders if needed) -> 16k-step
 # flagship train -> expr accuracy sweep over CFG scales {0,1,3,5}.  The chd
@@ -16,7 +17,7 @@
 # TPU wall time: ~2-4h per mode through the remote tunnel.  Checkpoints save
 # every 10 epochs so a mid-run kill never loses the training.
 set -euo pipefail
-MODE=${1:?mode: chd|txt|joint}
+MODE=${1:?mode: chd|txt|joint|pnt}
 # resolve the workdir to an absolute path BEFORE the cd below — a relative
 # workdir otherwise dangles both the mkdir'd tree and the pretrain symlink
 WORK=$(realpath -m "${2:?workdir}")
@@ -34,23 +35,31 @@ fi
 
 PRE="$WORK/pretrained"
 mkdir -p "$PRE"
-if [ "$MODE" != "txt" ] && [ ! -d "$PRE/chd8bar" ]; then
+if [ "$MODE" != "txt" ] && [ "$MODE" != "pnt" ] && [ ! -d "$PRE/chd8bar" ]; then
   echo "=== chd_8bar pretrain (frozen chord encoder) ==="
   python -m polyffusion_tpu.main --model chd_8bar --output_dir "$WORK/chd8bar" \
     --data_dir "$CORPUS" --max_steps 3000 --save_every 5 --log_every 500 --fresh
   ln -s "$(ls -d "$WORK"/chd8bar/*/ | tail -1)" "$PRE/chd8bar"
 fi
-if [ "$MODE" != "chd" ] && [ ! -f "$PRE/polydis.npz" ]; then
+if { [ "$MODE" = "txt" ] || [ "$MODE" = "joint" ]; } && [ ! -f "$PRE/polydis.npz" ]; then
   # deterministic random-init frozen texture encoder (no pretrained PolyDis
   # weights exist in this environment; the embedding only needs to separate
   # textures, which random projections do)
   python -m polyffusion_tpu.convert --kind txt_enc --init --seed 0 --output "$PRE/polydis.npz"
 fi
 
+if [ "$MODE" = "pnt" ] && [ ! -f "$PRE/pnotree.npz" ]; then
+  # deterministic random-init frozen pnotree encoder (same no-pretrained-
+  # weights stand-in as txt: random projections of the exact note content
+  # still carry it)
+  python -m polyffusion_tpu.convert --kind pnotree_enc --init --seed 0 --output "$PRE/pnotree.npz"
+fi
+
 case "$MODE" in
   chd)   MODEL=sdf_chd8bar     SWEEPS="chd_acc" ;;
   txt)   MODEL=sdf_txt         SWEEPS="txt_acc" ;;
   joint) MODEL=sdf_chd8bar_txt SWEEPS="chd_acc txt_acc" ;;
+  pnt)   MODEL=sdf_pnotree     SWEEPS="pnt_acc" ;;
 esac
 
 echo "=== $MODEL train ($STEPS steps) ==="

@@ -151,6 +151,67 @@ def test_txt_acc_experiment_runs(data_dir, tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "txt_acc.json"))
 
 
+def test_pnt_acc_metric_validity():
+    """Metric oracle for expr --type pnt_acc: exact note-cell F1 is perfect on
+    self, 0 on pitch-disjoint rolls, and — unlike the banded rhythm F1 — stays
+    pairing-sensitive even when BOTH rolls are onset-dense at every step
+    (the saturation mode that motivated it; VERDICT r4 item 6)."""
+    roll = np.zeros((2, 128, 128), np.float32)
+    roll[0, ::4, 60] = 1.0
+    assert X.note_cell_f1(roll, roll) == 1.0
+    other = np.zeros_like(roll)
+    other[0, ::4, 64] = 1.0  # same rhythm + register band, different pitch:
+    assert X.note_cell_f1(roll, other) == 0.0  # exact cells disjoint...
+    assert X.onset_step_f1(roll, other) == 1.0  # ...banded metric can't see it
+    empty = np.zeros_like(roll)
+    assert X.note_cell_f1(empty, empty) == 1.0
+    assert X.note_cell_f1(roll, empty) == 0.0
+
+    # dense-generation saturation: every step active in every band, but the
+    # pitch content still separates the matched source from a shuffled one
+    dense_a = np.zeros_like(roll)
+    dense_a[0, :, 30] = dense_a[0, :, 60] = dense_a[0, :, 90] = 1.0
+    dense_b = np.zeros_like(roll)
+    dense_b[0, :, 35] = dense_b[0, :, 65] = dense_b[0, :, 95] = 1.0
+    assert X.onset_step_f1(dense_a, dense_b) == 1.0  # banded F1 saturates
+    assert X.note_cell_f1(dense_a, dense_b) == 0.0  # exact cells do not
+
+
+def test_pnt_acc_experiment_runs(data_dir, tmp_path):
+    """pnt_acc sweeps scales against a frozen random pnotree encoder and emits
+    the metric table with shuffled-pair chance-floor columns (VERDICT r4
+    item 6: the 4th cond_type gets a quantitative control metric)."""
+    from polyffusion_tpu.models.encoders import PianoTreeEncoder
+
+    enc = PianoTreeEncoder(
+        note_emb_size=16, enc_notes_hid_size=16, enc_time_hid_size=32, z_size=32
+    )
+    pn0 = np.full((1, 32, 20, 6), enc.pitch_pad, np.int32)
+    enc_params = enc.init(jax.random.PRNGKey(5), pn0)["params"]
+    cfg = Params({**TINY_CFG, "d_cond": 4 * 32, "cond_type": "pnotree",
+                  "use_enc": True})
+    task = SDFTask(cfg, pnotree_enc=enc, pnotree_enc_params=enc_params)
+    params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+    session = InferenceSession(
+        task, params, use_ddim=True, ddim_steps=2, traced_cfg_scale=True
+    )
+    args = SimpleNamespace(
+        data_dir=data_dir, split_file=None, batch_size=2, batch_num=1,
+        output_dir=str(tmp_path), uncond_scale=1.0, scales="0,3", seed=0,
+    )
+    table = X.EXPERIMENTS["pnt_acc"](session, task, args)
+    assert set(table) == {0.0, 3.0}
+    cols = {"note_f1", "note_f1_shuf", "onset_f1", "onset_f1_shuf"}
+    for row in table.values():
+        assert set(row) == cols
+        assert all(np.isfinite(v) for v in row.values())
+        assert all(0.0 <= row[c] <= 1.0 for c in cols)
+    assert len(session._paint_cache) == 1  # one executable for the whole sweep
+    import os
+
+    assert os.path.exists(os.path.join(tmp_path, "pnt_acc.json"))
+
+
 def test_convert_init_txt_enc(tmp_path):
     """--init writes a loadable, deterministic random texture encoder that
     build_frozen_encoders accepts as polydis.npz."""
