@@ -31,6 +31,17 @@ tau grid (an explicit ``--ddim_steps`` overrides)::
 
     python -m polyffusion_tpu.inference --chkpt_path <output_dir> \
         --ddim --uncond_scale 1 ...
+
+**Chain mode**: a distilled run dir can itself be the ``--teacher`` — the CLI
+detects ``v_prediction: true``, skips stage A (guidance is already folded), and
+continues halving from the student's OWN stored ``distill_grid`` (halving grids
+are nested by construction, ``G_next = G[1::2]``; a freshly computed base-4
+grid would NOT match the 4-grid that was subsampled down from base 64, so the
+stored grid is authoritative)::
+
+    python -m polyffusion_tpu.distill --teacher result/distilled \
+        --data_dir /data/npz --output_dir result/distilled_1 \
+        --end_steps 1 --phase_steps 1500 ...
 """
 
 from __future__ import annotations
@@ -68,6 +79,12 @@ def main(argv=None):
     p.add_argument("--skip_stage_a", action="store_true",
                    help="distill the CFG teacher directly inside stage B "
                    "(one-stage variant; stage-A students sample on ANY grid)")
+    p.add_argument("--pad_phase_tables", type=int, default=None,
+                   help="pad the per-phase coefficient tables to this many rows "
+                   "(default: base grid size // 2).  Pinning it to the ORIGINAL "
+                   "run's value (its base_steps // 2) lets a chained run reuse "
+                   "that run's jitted step from the persistent compile cache — "
+                   "on the remote TPU a fresh full-UNet compile is 20-60 min")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--seed", type=int, default=0)
@@ -92,14 +109,32 @@ def main(argv=None):
     else:
         assert args.model, "--model preset required with a torch --teacher"
         cfg = load_params(args.model)
-    assert not cfg.get("v_prediction"), "teacher is already a distilled v-model"
+    # Chain mode: an already-distilled v-student can itself be the teacher —
+    # continue halving its grid (e.g. 4 -> 2 -> 1) without re-running stage A
+    # or the earlier phases.  The v-metadata is stripped from the BASE task's
+    # config (the base is just the UNet+encoders+schedule container; the
+    # teacher's v semantics enter through teacher_kind="v" below).
+    chained = bool(cfg.get("v_prediction"))
+    prior_grid = None
+    if chained:
+        prior_grid = cfg.get("distill_grid")  # None: stage-A-only (grid-free)
+        if cfg.get("distilled_scale") is not None:
+            # a v-teacher is already guided; the scale is inherited metadata
+            args.guide_scale = float(cfg["distilled_scale"])
+        cfg = Params({
+            k: v for k, v in cfg.items()
+            if k not in ("v_prediction", "distill_grid", "distilled_scale")
+        })
 
     base = build_task_for_inference(cfg, args.pretrained_dir)
     teacher = _host(load_unet_params(args.teacher, base))
 
+    name = cfg.get("model_name", "sdf")
+    if not name.endswith("_distill"):  # chained teachers already carry it
+        name += "_distill"
     run_cfg = Params({
         **cfg,
-        "model_name": f"{cfg.get('model_name', 'sdf')}_distill",
+        "model_name": name,
         "learning_rate": args.lr,
         "max_epoch": 10**9,  # phases are governed by max_steps
         "cond_mode": "cond",  # no CFG dropout: the student is always guided
@@ -138,20 +173,44 @@ def main(argv=None):
         )
         return _host(state.params)
 
-    grids = halving_grids(cfg["n_steps"], args.base_steps, args.end_steps)
+    if prior_grid is not None:
+        # continue halving from the teacher's EXACT trained grid: halving
+        # grids are nested (G_next = G[1::2]), so a freshly computed coarse
+        # grid would not match the one the student was trained on
+        g = np.asarray(prior_grid, np.int64)
+        n, e = len(g), args.end_steps
+        if e < 1 or n % e or (n // e) & (n // e - 1):
+            p.error(f"teacher grid size {n} must be end_steps ({e}) * a power of 2")
+        if n <= e:
+            p.error(f"teacher grid is already {n} steps — nothing to train")
+        grids = [g]
+        while len(g) > e:
+            g = g[1::2]
+            grids.append(g)
+    else:
+        grids = halving_grids(cfg["n_steps"], args.base_steps, args.end_steps)
     if args.skip_stage_a and len(grids) == 1:
         p.error("--skip_stage_a with --base_steps == --end_steps trains nothing")
+    if chained and len(grids) == 1:
+        p.error("a grid-free v-teacher with --base_steps == --end_steps trains nothing")
 
     teacher_kind = "eps_guided"
     last_subdir = None
-    if not args.skip_stage_a:
+    if chained:
+        teacher_kind = "v"  # guidance already folded: stage A is inapplicable
+        print("[distill] v-teacher: chaining stage-B phases "
+              f"({len(grids[0])} -> {len(grids[-1])} steps)")
+    elif not args.skip_stage_a:
         print(f"[distill] stage A: folding CFG scale {args.guide_scale} into one pass")
         task = DistillTask(base, args.guide_scale, "guided", teacher_kind)
         task.frozen = {"teacher": teacher}
         teacher = run_stage(task, "stage_a", args.stage_a_steps, teacher)
         teacher_kind, last_subdir = "v", "stage_a"
 
-    m_max = args.base_steps // 2
+    m_max = args.pad_phase_tables or (len(grids[0]) // 2)
+    if m_max < len(grids[0]) // 2:
+        p.error(f"--pad_phase_tables {m_max} is smaller than the largest phase "
+                f"({len(grids[0]) // 2} rows)")
     final_grid = grids[-1]
     for fine in grids[:-1]:
         m_phase = len(fine) // 2

@@ -381,6 +381,35 @@ def test_distill_cli_e2e(data_dir, tmp_path):
     session50 = InferenceSession(task2, params2, use_ddim=True, ddim_steps=8, seed=0)
     assert session50.ddim.n_steps == 8
 
+    # --- chain mode: the distilled run dir is itself the teacher ------------
+    # continue halving 4 -> 2 -> 1 from the student's OWN stored grid (nested
+    # G[1::2] subsampling — NOT a freshly computed coarse grid)
+    out1 = str(tmp_path / "student_1step")
+    distill_cli.main([
+        "--teacher", out, "--data_dir", data_dir, "--output_dir", out1,
+        "--end_steps", "1", "--phase_steps", "2", "--batch_size", "8",
+        "--save_every", "1", "--log_every", "1",
+    ])
+    cfg1 = load_params(os.path.join(out1, "params.yaml"))
+    assert cfg1["v_prediction"] is True
+    assert cfg1["distilled_scale"] == 3.0  # inherited, not the CLI default 5.0
+    g = list(grid)
+    assert cfg1["distill_grid"] == g[1::2][1::2]  # nested halving of the stored grid
+    assert not os.path.isdir(os.path.join(out1, "stage_a"))  # no stage A re-run
+    task1 = SDFTask(cfg1)
+    params1 = load_unet_params(out1, task1)
+    session1 = InferenceSession(task1, params1, use_ddim=True, seed=0)
+    assert session1.ddim.n_steps == 1  # single-eval generation
+    gen1 = session1.predict(cond, uncond_scale=1.0)
+    assert gen1.shape == (2, 2, 128, 128) and np.isfinite(np.asarray(gen1)).all()
+
+    # a teacher grid already at end_steps trains nothing
+    with pytest.raises(SystemExit):
+        distill_cli.main([
+            "--teacher", out1, "--data_dir", data_dir,
+            "--output_dir", str(tmp_path / "noop"), "--end_steps", "1",
+        ])
+
 
 @pytest.mark.slow
 def test_distill_cli_stage_a_only(data_dir, tmp_path):
