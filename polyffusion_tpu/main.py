@@ -27,6 +27,10 @@ def build_task(cfg, pretrained_dir=None):
         from .tasks.chd_8bar import Chd8BarTask
 
         return Chd8BarTask(cfg)
+    if model_name == "pnotree_vae":
+        from .tasks.pnotree_vae import PnoTreeVAETask
+
+        return PnoTreeVAETask(cfg)
     if model_name == "autoencoder":
         from .tasks.autoencoder import AutoencoderTask
 
@@ -113,9 +117,11 @@ def main(argv=None):
     mesh = make_mesh(jax.devices()[:n_dev])
 
     param_scheduler = None
-    if "tfr_chd" in cfg:
-        hi, lo = cfg["tfr_chd"]
-        param_scheduler = ParameterScheduler(tfr_chd=TeacherForcingScheduler(hi, lo))
+    tfr_keys = [k for k in ("tfr_chd", "tfr_pnt1", "tfr_pnt2") if k in cfg]
+    if tfr_keys:
+        param_scheduler = ParameterScheduler(**{
+            k: TeacherForcingScheduler(*cfg[k]) for k in tfr_keys
+        })
 
     task = build_task(cfg, args.pretrained_dir)
     train_dl, val_dl = make_loaders(

@@ -263,6 +263,25 @@ def load_chord_encoder_from_run(run_dir: str):
     return params["chord_enc"]
 
 
+def load_pnotree_encoder_from_run(run_dir: str):
+    """PianoTree-encoder params from a ``pnotree_vae`` run trained by this
+    framework — the trainable stand-in for the reference's PolyDis-pretrained
+    PianoTree VAE (utils.py:19-45), which it loads but never trains."""
+    import os
+
+    from ..config import load_params
+
+    cfg = load_params(os.path.join(run_dir, "params.yaml"))
+    assert cfg.get("model_name") == "pnotree_vae", (
+        f"{run_dir} is not a pnotree_vae run (model_name={cfg.get('model_name')!r})"
+    )
+    from ..inference import load_unet_params
+    from ..tasks.pnotree_vae import PnoTreeVAETask
+
+    params = load_unet_params(run_dir, PnoTreeVAETask(cfg))
+    return params["pnotree_enc"]
+
+
 def build_frozen_encoders(cfg, pretrained_dir: Optional[str] = None):
     """Construct + load the frozen encoders required by ``cfg`` (cond_type/use_enc).
 
@@ -284,8 +303,9 @@ def build_frozen_encoders(cfg, pretrained_dir: Optional[str] = None):
     def need(base, convert_fn):
         """Load converted params.  Accepted forms under ``pretrained_dir``, in
         order: a ``<base>/`` run directory trained by THIS framework (orbax —
-        currently the chd_8bar pretraining run), a pre-converted ``<base>.npz``
-        (see ``python -m polyffusion_tpu.convert``), a torch ``<base>.pt``."""
+        a ``chd_8bar`` run for chd8bar, a ``pnotree_vae`` run for pnotree), a
+        pre-converted ``<base>.npz`` (see ``python -m polyffusion_tpu.convert``),
+        a torch ``<base>.pt``."""
         if not pretrained_dir:
             raise FileNotFoundError(
                 f"this config needs the pretrained '{base}' encoder — pass "
@@ -295,6 +315,8 @@ def build_frozen_encoders(cfg, pretrained_dir: Optional[str] = None):
         run_dir = os.path.join(pretrained_dir, base)
         if base == "chd8bar" and os.path.isdir(run_dir):
             return {"chord_enc": load_chord_encoder_from_run(run_dir)}
+        if base == "pnotree" and os.path.isdir(run_dir):
+            return load_pnotree_encoder_from_run(run_dir)
         npz_path = os.path.join(pretrained_dir, base + ".npz")
         if os.path.exists(npz_path):
             from .. convert.__main__ import load_params_npz
@@ -303,7 +325,8 @@ def build_frozen_encoders(cfg, pretrained_dir: Optional[str] = None):
         pt_path = os.path.join(pretrained_dir, base + ".pt")
         if not os.path.exists(pt_path):
             raise FileNotFoundError(
-                f"pretrained checkpoint not found: {run_dir}/ (a chd_8bar run), "
+                f"pretrained checkpoint not found: {run_dir}/ (a run dir "
+                "trained by this framework: chd_8bar / pnotree_vae), "
                 f"{npz_path} or {pt_path} (convert from the reference's "
                 "pretrained/ directory with `python -m polyffusion_tpu.convert`)"
             )

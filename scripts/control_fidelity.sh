@@ -48,11 +48,19 @@ if { [ "$MODE" = "txt" ] || [ "$MODE" = "joint" ]; } && [ ! -f "$PRE/polydis.npz
   python -m polyffusion_tpu.convert --kind txt_enc --init --seed 0 --output "$PRE/polydis.npz"
 fi
 
-if [ "$MODE" = "pnt" ] && [ ! -f "$PRE/pnotree.npz" ]; then
-  # deterministic random-init frozen pnotree encoder (same no-pretrained-
-  # weights stand-in as txt: random projections of the exact note content
-  # still carry it)
-  python -m polyffusion_tpu.convert --kind pnotree_enc --init --seed 0 --output "$PRE/pnotree.npz"
+if [ "$MODE" = "pnt" ] && [ ! -d "$PRE/pnotree" ]; then
+  # pretrain the PianoTree VAE and freeze its encoder — the reference's own
+  # dependency chain (it loads a PolyDis-pretrained PianoTree VAE).  A
+  # random-init hierarchical-GRU encoder is measurably BLIND: its embeddings
+  # collapse (pairwise z distance ~3.5% of the z norm), so the diffusion
+  # model learns to ignore the channel and matched == shuffled at every CFG
+  # scale (measured round 5; same failure class as the homogeneous-texture
+  # corpus catch).
+  echo "=== pnotree_vae pretrain (frozen pnotree encoder) ==="
+  python -m polyffusion_tpu.main --model pnotree_vae --output_dir "$WORK/pnotreevae" \
+    --data_dir "$CORPUS" --max_steps "${PNT_VAE_STEPS:-3000}" --save_every 5 \
+    --log_every 200 --fresh
+  ln -s "$(ls -d "$WORK"/pnotreevae/*/ | tail -1)" "$PRE/pnotree"
 fi
 
 case "$MODE" in
