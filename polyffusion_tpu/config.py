@@ -29,6 +29,25 @@ class Params(dict):
         self[name] = value
 
 
+def enable_compile_cache(default: str = "/tmp/jax_tpu_cache") -> None:
+    """Persistent XLA compile cache for the CLI entry points (bench.py already
+    does this for itself): through the remote-compile relay a cold full-UNet
+    TPU compile is 20-60 min, a cache hit seconds.  Respects an existing
+    setting (tests pin /tmp/jax_test_cache in conftest.py) and the
+    ``JAX_CACHE_DIR`` env override; silently skips on unwritable paths."""
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is not None:
+        return
+    path = os.environ.get("JAX_CACHE_DIR", default)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def load_params(path_or_model: str) -> Params:
     """Load params from a preset name ('sdf_chd8bar') or explicit yaml path."""
     path = path_or_model

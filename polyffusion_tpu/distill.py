@@ -94,6 +94,10 @@ def main(argv=None):
                    help="resume interrupted stages from their checkpoints")
     args = p.parse_args(argv)
 
+    from .config import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
 
     from .config import Params, load_params, save_params

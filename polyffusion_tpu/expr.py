@@ -443,6 +443,10 @@ def main(argv=None):
     p.add_argument("--pretrained_dir", default=None)
     args = p.parse_args(argv)
 
+    from .config import enable_compile_cache
+
+    enable_compile_cache()
+
     if args.model is None and os.path.isdir(args.chkpt_path):
         cfg = load_params(os.path.join(args.chkpt_path, "params.yaml"))
     else:

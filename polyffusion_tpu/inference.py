@@ -832,6 +832,10 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
+    from .config import enable_compile_cache
+
+    enable_compile_cache()
+
     # resolve params: run dir's params.yaml, or preset name
     if args.model is None and os.path.isdir(args.chkpt_path):
         cfg = load_params(os.path.join(args.chkpt_path, "params.yaml"))

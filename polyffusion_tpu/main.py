@@ -72,11 +72,12 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
-    from .config import load_params
+    from .config import enable_compile_cache, load_params
     from .data import SegmentDataset, make_loaders
     from .parallel import make_mesh
     from .train import ParameterScheduler, TeacherForcingScheduler, Trainer
 
+    enable_compile_cache()
     cfg = load_params(args.model)
     for kv in args.set:
         import yaml

@@ -514,6 +514,10 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
+    from .config import enable_compile_cache
+
+    enable_compile_cache()
+
     worker = GenerationWorker(args)
     rqueue = RequestQueue(worker, args.coalesce_ms) if args.coalesce_ms > 0 else None
     # Bind and serve BEFORE warmup: cold-cache TPU compiles take 20-60 min and
