@@ -15,6 +15,10 @@ Experiment types:
     pnt_acc    pnotree CONTROL-FIDELITY sweep: generate at --scales, score the
                output's exact note cells / rhythm skeleton against the
                conditioning source (+ shuffled-pair chance floors)
+    fd         Fréchet-distance SAMPLE-QUALITY sweep: generate at --scales,
+               report FD(generated set, real val set) in a hand-crafted
+               descriptor space (+ the texture-encoder embedding space when
+               the checkpoint carries one), with an estimator noise-floor row
 
     python -m polyffusion_tpu.expr --chkpt_path <run dir> --data_dir <npz dir> \
         --type uncond --batch_num 10 --output_dir exp
@@ -406,6 +410,182 @@ def pnt_acc(session, task, args):
     return table
 
 
+# ---------------------------------------------------------------------------
+# Fréchet distance (sample-QUALITY metric, beyond reference)
+#
+# The control-fidelity sweeps above score each generation against ITS OWN
+# conditioning source — they measure steering, not realism, and several are
+# saturation-prone (three separate metric-saturation catches are documented in
+# PARITY.md).  The Fréchet distance between the generated SET and the real
+# SET (the FID/FAD recipe: fit Gaussians in a feature space, closed-form
+# 2-Wasserstein) measures distributional match instead, which is where coarse
+# few-step integration bias shows up even when per-sample control metrics
+# can't see it.  The reference has no sample-quality metric at all (its
+# expr.py only generates; scoring happened offline for the paper).
+# ---------------------------------------------------------------------------
+
+
+def _psd_sqrtm(a: np.ndarray) -> np.ndarray:
+    """Symmetric PSD matrix square root via eigh (no scipy dependency);
+    negative eigenvalues from floating-point noise are clipped to zero."""
+    w, v = np.linalg.eigh((a + a.T) / 2.0)
+    return (v * np.sqrt(np.clip(w, 0.0, None))) @ v.T
+
+
+def frechet_distance(mu1, cov1, mu2, cov2) -> float:
+    """Squared Fréchet (2-Wasserstein) distance between two Gaussians:
+    |mu1-mu2|^2 + tr(C1 + C2 - 2 (C1^1/2 C2 C1^1/2)^1/2).  Estimates from n
+    samples are biased upward at small n — compare configs at EQUAL n only
+    (the ``real_split`` row in fd() measures that noise floor directly)."""
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    cov1, cov2 = np.asarray(cov1, np.float64), np.asarray(cov2, np.float64)
+    s1h = _psd_sqrtm(cov1)
+    mean_term = float(((mu1 - mu2) ** 2).sum())
+    cov_term = float(
+        np.trace(cov1) + np.trace(cov2) - 2.0 * np.trace(_psd_sqrtm(s1h @ cov2 @ s1h))
+    )
+    return max(mean_term + cov_term, 0.0)
+
+
+def _gaussian_stats(feats: np.ndarray):
+    f = np.asarray(feats, np.float64)
+    return f.mean(0), np.cov(f, rowvar=False)
+
+
+def feature_stats(prmat2c: np.ndarray) -> np.ndarray:
+    """Hand-crafted per-sample descriptors for the ``stats`` feature space:
+    (N, 2, n_step, 128) -> (N, 25) — onset chroma histogram (12), register-band
+    onset rates (3), onset-count mean/std (2), sustain/onset mass ratio (1),
+    onset-weighted pitch mean/std (2), density-profile autocorrelation at lags
+    1/2/4/8/16 (5).  Deterministic, model-free, and sensitive to exactly the
+    marginal statistics (pitch placement, rhythm periodicity, note-mass
+    balance) that coarse few-step integration biases."""
+    x = np.asarray(prmat2c, np.float32)
+    on = np.rint(x[:, 0]).clip(0.0, 1.0)  # (N, S, 128)
+    sus = np.rint(x[:, 1]).clip(0.0, 1.0)
+    n, s, p = on.shape
+    tot = on.sum((1, 2))  # (N,)
+    safe = np.maximum(tot, 1.0)
+
+    pitch_mass = on.sum(1)  # (N, 128)
+    chroma = pitch_mass.reshape(n, -1, 12).sum(1) if p % 12 == 0 else np.stack(
+        [pitch_mass[:, c::12].sum(1) for c in range(12)], axis=1
+    )
+    chroma = chroma / safe[:, None]
+
+    bands = np.stack(
+        [(on[:, :, lo:hi].sum(-1) > 0).mean(1) for lo, hi in _F1_BANDS], axis=1
+    )  # (N, 3) fraction of steps with an onset in band
+
+    prof = on.sum(-1)  # (N, S) onset counts per step
+    dens_mean = prof.mean(1)
+    dens_std = prof.std(1)
+    sus_ratio = sus.sum((1, 2)) / safe
+
+    pitches = np.arange(p, dtype=np.float32)
+    pmean = (pitch_mass * pitches).sum(1) / safe
+    pvar = (pitch_mass * (pitches[None] - pmean[:, None]) ** 2).sum(1) / safe
+    pstd = np.sqrt(pvar)
+
+    centered = prof - dens_mean[:, None]
+    denom = np.maximum((centered**2).sum(1), 1e-6)
+    acorr = np.stack(
+        [(centered[:, :-lag] * centered[:, lag:]).sum(1) / denom for lag in (1, 2, 4, 8, 16)],
+        axis=1,
+    )
+
+    return np.concatenate(
+        [
+            chroma,
+            bands,
+            dens_mean[:, None],
+            dens_std[:, None],
+            sus_ratio[:, None],
+            pmean[:, None] / 127.0,
+            pstd[:, None] / 127.0,
+            acorr,
+        ],
+        axis=1,
+    ).astype(np.float64)
+
+
+def fd(session, task, args):
+    """Fréchet-distance sweep (``expr --type fd``): for each CFG scale,
+    generate conditioned on the val split and report FD between the generated
+    set and the real val segments, in one or two feature spaces:
+
+      fd_stats   25-dim hand-crafted descriptors (``feature_stats``) — always
+                 available, model-free
+      fd_emb     the frozen texture-encoder embedding (task.encode_txt), the
+                 FID recipe with the domain's own pretrained feature net —
+                 only when the checkpoint carries a texture encoder
+
+    Also reports ``real_split``: FD between two disjoint halves of the real
+    set — the sampling-noise floor of the estimator at this n (FD estimates
+    are biased at small n, so configs are comparable only at EQUAL n; the
+    floor row makes the bias visible instead of implicit).  Writes fd.json."""
+    scales = [float(s) for s in args.scales.split(",")]
+    batches = list(
+        _batches(args.data_dir, args.batch_size, args.batch_num, split_file=args.split_file)
+    )
+    assert batches, (
+        "no val batches — the val split must hold at least --batch_size "
+        "segments (check --data_dir / --split_file / corpus size)"
+    )
+    real = np.concatenate([np.asarray(b.prmat2c) for b in batches])
+    spaces = {"stats": lambda p2c, prm: feature_stats(p2c)}
+    has_emb = getattr(task, "encode_txt", None) is not None and task.cond_type in (
+        "txt", "chord+txt",
+    )
+    if has_emb:
+        spaces["emb"] = lambda p2c, prm: np.asarray(
+            task.encode_txt(np.asarray(prm, np.float32))
+        )[:, 0].astype(np.float64)
+
+    from .utils.reprs import prmat2c_to_prmat
+
+    real_prmat = np.concatenate([np.asarray(b.prmat, np.float32) for b in batches])
+    real_feats = {k: f(real, real_prmat) for k, f in spaces.items()}
+    real_stats = {k: _gaussian_stats(v) for k, v in real_feats.items()}
+
+    table = {}
+    # estimator noise floor: two disjoint halves of the real set
+    h = len(real) // 2
+    if h >= 2:
+        table["real_split"] = {
+            f"fd_{k}": round(
+                frechet_distance(*_gaussian_stats(v[:h]), *_gaussian_stats(v[h : 2 * h])), 4
+            )
+            for k, v in real_feats.items()
+        }
+        print("real_split: " + "  ".join(f"{c}={v}" for c, v in table["real_split"].items()))
+
+    conds = [_full_cond(task, b) for b in batches]
+    for s in scales:
+        gen = np.concatenate([session.predict(c, uncond_scale=s) for c in conds])
+        assert len(gen) == len(real)
+        gen_prmat = (
+            prmat2c_to_prmat(gen, n_step=gen.shape[2]).astype(np.float32)
+            if has_emb else None
+        )
+        row = {
+            f"fd_{k}": round(
+                frechet_distance(*real_stats[k], *_gaussian_stats(f(gen, gen_prmat))), 4
+            )
+            for k, f in spaces.items()
+        }
+        table[s] = row
+        print(f"scale {s:>4}: " + "  ".join(f"{c}={v}" for c, v in row.items()))
+
+    import json
+
+    out = os.path.join(args.output_dir, "fd.json")
+    with open(out, "w") as f:
+        json.dump({"n_samples": len(real), "table": {str(k): v for k, v in table.items()}}, f, indent=1)
+    print(f"frechet distance table -> {out}")
+    return table
+
+
 EXPERIMENTS = {
     "uncond": prompt_generation,
     "inp_below": acc_arrangement,
@@ -415,6 +595,7 @@ EXPERIMENTS = {
     "chd_acc": chd_acc,
     "txt_acc": txt_acc,
     "pnt_acc": pnt_acc,
+    "fd": fd,
 }
 
 
@@ -458,7 +639,7 @@ def main(argv=None):
         sampler="dpmpp" if args.dpmpp else None, dpm_order=args.dpm_order,
         repaint_n=args.repaint_n, seed=args.seed,
         # one compiled sampler across the whole scale sweep
-        traced_cfg_scale=(args.type in ("chd_acc", "txt_acc", "pnt_acc")),
+        traced_cfg_scale=(args.type in ("chd_acc", "txt_acc", "pnt_acc", "fd")),
     )
     os.makedirs(args.output_dir, exist_ok=True)
     EXPERIMENTS[args.type](session, task, args)

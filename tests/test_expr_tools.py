@@ -212,6 +212,124 @@ def test_pnt_acc_experiment_runs(data_dir, tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "pnt_acc.json"))
 
 
+def test_frechet_distance_closed_form():
+    """frechet_distance matches the analytic 2-Wasserstein distance for
+    diagonal Gaussians, is zero on identical inputs, and is invariant under a
+    shared orthogonal rotation of the feature space."""
+    rng = np.random.default_rng(0)
+    mu1, mu2 = rng.normal(size=6), rng.normal(size=6)
+    d1, d2 = rng.uniform(0.5, 2.0, 6), rng.uniform(0.5, 2.0, 6)
+    # diagonal case: |mu1-mu2|^2 + sum (sqrt(d1) - sqrt(d2))^2
+    expect = ((mu1 - mu2) ** 2).sum() + ((np.sqrt(d1) - np.sqrt(d2)) ** 2).sum()
+    got = X.frechet_distance(mu1, np.diag(d1), mu2, np.diag(d2))
+    assert got == pytest.approx(expect, rel=1e-9)
+
+    a = rng.normal(size=(5, 5))
+    cov = a @ a.T + np.eye(5)
+    assert X.frechet_distance(mu1[:5], cov, mu1[:5], cov) == pytest.approx(0.0, abs=1e-9)
+
+    # rotation invariance (general non-commuting covariances)
+    b = rng.normal(size=(5, 5))
+    cov2 = b @ b.T + np.eye(5)
+    q, _ = np.linalg.qr(rng.normal(size=(5, 5)))
+    base = X.frechet_distance(mu1[:5], cov, mu2[:5], cov2)
+    rot = X.frechet_distance(q @ mu1[:5], q @ cov @ q.T, q @ mu2[:5], q @ cov2 @ q.T)
+    assert rot == pytest.approx(base, rel=1e-8)
+
+    # estimator sanity: two large samples of the same Gaussian ~ 0, a
+    # mean-shifted one ~ shift^2
+    x = rng.normal(size=(4000, 4))
+    y = rng.normal(size=(4000, 4))
+    near = X.frechet_distance(*X._gaussian_stats(x), *X._gaussian_stats(y))
+    far = X.frechet_distance(*X._gaussian_stats(x), *X._gaussian_stats(y + 3.0))
+    assert near < 0.1
+    assert far == pytest.approx(9.0 * 4, rel=0.1)
+
+
+def test_feature_stats_discriminates():
+    """feature_stats: correct shape, finite, and separates distributions that
+    differ in pitch placement or rhythm periodicity (what FD is measuring)."""
+    def corpus(base_pitch, period, n=192, seed=0):
+        # octave + semitone jitter per note: real within-corpus variance, so
+        # the same-distribution FD floor is tiny (measured 6e-5) while the
+        # pitch-class shift (0.73) and rhythm-period shift (17.3) stand out
+        rng = np.random.default_rng(seed)
+        out = np.zeros((n, 2, 128, 128), np.float32)
+        for i in range(n):
+            for s in range(0, 128, period):
+                p = base_pitch + 12 * rng.integers(-1, 2) + rng.integers(0, 3)
+                out[i, 0, s, p] = 1.0
+                out[i, 1, s : s + period, p] = 1.0
+        return out
+
+    f = X.feature_stats(corpus(60, 4))
+    assert f.shape == (192, 25) and np.isfinite(f).all()
+
+    ref = X._gaussian_stats(f)
+    fd_same = X.frechet_distance(
+        *X._gaussian_stats(X.feature_stats(corpus(60, 4, seed=1))), *ref
+    )
+    fd_pitch = X.frechet_distance(
+        *X._gaussian_stats(X.feature_stats(corpus(67, 4, seed=1))), *ref
+    )
+    fd_rhythm = X.frechet_distance(
+        *X._gaussian_stats(X.feature_stats(corpus(60, 8, seed=1))), *ref
+    )
+    assert fd_pitch > 100 * max(fd_same, 1e-6), (fd_pitch, fd_same)
+    assert fd_rhythm > 100 * max(fd_same, 1e-6), (fd_rhythm, fd_same)
+
+    # the empty roll is finite (guarded divisions), not NaN
+    assert np.isfinite(X.feature_stats(np.zeros((2, 2, 128, 128)))).all()
+
+
+def test_fd_experiment_runs(session_task, data_dir, tmp_path):
+    """fd sweep on a chord-conditioned checkpoint: stats space only, one
+    traced-scale executable, noise-floor row present."""
+    task = session_task[1]
+    params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+    session = InferenceSession(
+        task, params, use_ddim=True, ddim_steps=2, traced_cfg_scale=True
+    )
+    args = SimpleNamespace(
+        data_dir=data_dir, split_file=None, batch_size=4, batch_num=1,
+        output_dir=str(tmp_path), uncond_scale=1.0, scales="0,3", seed=0,
+    )
+    table = X.EXPERIMENTS["fd"](session, task, args)
+    assert set(table) == {"real_split", 0.0, 3.0}
+    for row in table.values():
+        assert set(row) == {"fd_stats"}
+        assert all(np.isfinite(v) and v >= 0 for v in row.values())
+    assert len(session._paint_cache) == 1
+    import os
+
+    assert os.path.exists(os.path.join(tmp_path, "fd.json"))
+
+
+def test_fd_experiment_emb_space(data_dir, tmp_path):
+    """On a txt-conditioned checkpoint the fd sweep additionally reports the
+    texture-encoder embedding space (the FID recipe)."""
+    from polyffusion_tpu.models.encoders import TextureEncoder
+
+    enc = TextureEncoder(emb_size=64, hidden_dim=128, z_dim=32, num_channel=10)
+    enc_params = enc.init(jax.random.PRNGKey(7), np.zeros((1, 32, 128), np.float32))[
+        "params"
+    ]
+    cfg = Params({**TINY_CFG, "d_cond": 128, "cond_type": "txt", "use_enc": True})
+    task = SDFTask(cfg, txt_enc=enc, txt_enc_params=enc_params)
+    params = init_on_cpu(task.init_params, jax.random.PRNGKey(0))
+    session = InferenceSession(
+        task, params, use_ddim=True, ddim_steps=2, traced_cfg_scale=True
+    )
+    args = SimpleNamespace(
+        data_dir=data_dir, split_file=None, batch_size=4, batch_num=1,
+        output_dir=str(tmp_path), uncond_scale=1.0, scales="1", seed=0,
+    )
+    table = X.EXPERIMENTS["fd"](session, task, args)
+    for row in table.values():
+        assert set(row) == {"fd_stats", "fd_emb"}
+        assert all(np.isfinite(v) and v >= 0 for v in row.values())
+
+
 def test_convert_init_txt_enc(tmp_path):
     """--init writes a loadable, deterministic random texture encoder that
     build_frozen_encoders accepts as polydis.npz."""
