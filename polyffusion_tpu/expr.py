@@ -452,6 +452,45 @@ def _gaussian_stats(feats: np.ndarray):
     return f.mean(0), np.cov(f, rowvar=False)
 
 
+def _knn_radii(x: np.ndarray, k: int) -> np.ndarray:
+    """Distance from each row to its k-th nearest OTHER row (the manifold
+    radius estimate of Kynkäänniemi et al.)."""
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    k = min(k, len(x) - 1)
+    return np.sqrt(np.partition(d2, k - 1, axis=1)[:, k - 1])
+
+
+def precision_recall(real: np.ndarray, gen: np.ndarray, k: int = 3):
+    """Improved precision/recall for generative models (Kynkäänniemi et al.
+    2019, arXiv:1904.06991): approximate each set's manifold by the union of
+    k-NN hyperspheres around its samples, then
+
+      precision  fraction of GENERATED samples inside the real manifold
+                 (fidelity: are the samples realistic?)
+      recall     fraction of REAL samples inside the generated manifold
+                 (coverage: are all the modes produced?)
+
+    Complements the Fréchet distance, which collapses both failure modes into
+    one number: mode dropping lowers recall at high precision; off-manifold
+    junk lowers precision at high recall.  Both sets are standardized by the
+    REAL set's per-dim mean/std so heterogeneous descriptor scales don't
+    dominate the metric.  Deterministic; O(n^2) in the set sizes (fine at the
+    n <= few hundred these sweeps use)."""
+    real = np.asarray(real, np.float64)
+    gen = np.asarray(gen, np.float64)
+    assert len(real) > 1 and len(gen) > 1, "need >= 2 samples per set"
+    mu, sd = real.mean(0), np.maximum(real.std(0), 1e-8)
+    r = (real - mu) / sd
+    g = (gen - mu) / sd
+    rr = _knn_radii(r, k)  # (nr,) real manifold radii
+    rg = _knn_radii(g, k)  # (ng,) generated manifold radii
+    d = np.sqrt(((g[:, None, :] - r[None, :, :]) ** 2).sum(-1))  # (ng, nr)
+    precision = float((d <= rr[None, :]).any(axis=1).mean())
+    recall = float((d <= rg[:, None]).any(axis=0).mean())
+    return precision, recall
+
+
 def feature_stats(prmat2c: np.ndarray) -> np.ndarray:
     """Hand-crafted per-sample descriptors for the ``stats`` feature space:
     (N, 2, n_step, 128) -> (N, 25) — onset chroma histogram (12), register-band
@@ -520,6 +559,11 @@ def fd(session, task, args):
                  FID recipe with the domain's own pretrained feature net —
                  only when the checkpoint carries a texture encoder
 
+    Each row also carries improved precision/recall (``precision_recall``:
+    prec_* = fidelity, rec_* = coverage) in the same feature space(s) — FD
+    collapses mode dropping and off-manifold junk into one number; the PR pair
+    says which one is being paid.
+
     Also reports ``real_split``: FD between two disjoint halves of the real
     set — the sampling-noise floor of the estimator at this n (FD estimates
     are biased at small n, so configs are comparable only at EQUAL n; the
@@ -552,13 +596,15 @@ def fd(session, task, args):
     # estimator noise floor: two disjoint halves of the real set
     h = len(real) // 2
     if h >= 2:
-        table["real_split"] = {
-            f"fd_{k}": round(
+        row = {}
+        for k, v in real_feats.items():
+            row[f"fd_{k}"] = round(
                 frechet_distance(*_gaussian_stats(v[:h]), *_gaussian_stats(v[h : 2 * h])), 4
             )
-            for k, v in real_feats.items()
-        }
-        print("real_split: " + "  ".join(f"{c}={v}" for c, v in table["real_split"].items()))
+            pr, rc = precision_recall(v[:h], v[h : 2 * h])
+            row[f"prec_{k}"], row[f"rec_{k}"] = round(pr, 4), round(rc, 4)
+        table["real_split"] = row
+        print("real_split: " + "  ".join(f"{c}={v}" for c, v in row.items()))
 
     conds = [_full_cond(task, b) for b in batches]
     for s in scales:
@@ -568,12 +614,14 @@ def fd(session, task, args):
             prmat2c_to_prmat(gen, n_step=gen.shape[2]).astype(np.float32)
             if has_emb else None
         )
-        row = {
-            f"fd_{k}": round(
-                frechet_distance(*real_stats[k], *_gaussian_stats(f(gen, gen_prmat))), 4
+        row = {}
+        for k, f in spaces.items():
+            gf = f(gen, gen_prmat)
+            row[f"fd_{k}"] = round(
+                frechet_distance(*real_stats[k], *_gaussian_stats(gf)), 4
             )
-            for k, f in spaces.items()
-        }
+            pr, rc = precision_recall(real_feats[k], gf)
+            row[f"prec_{k}"], row[f"rec_{k}"] = round(pr, 4), round(rc, 4)
         table[s] = row
         print(f"scale {s:>4}: " + "  ".join(f"{c}={v}" for c, v in row.items()))
 

@@ -282,6 +282,55 @@ def test_feature_stats_discriminates():
     assert np.isfinite(X.feature_stats(np.zeros((2, 2, 128, 128)))).all()
 
 
+def test_precision_recall_oracles():
+    """precision_recall discriminates the two failure modes FD conflates:
+    mode dropping (recall falls, precision holds) vs off-manifold junk
+    (precision falls, recall holds); identical sets score ~1/1 and a far
+    offset scores 0/0."""
+    rng = np.random.default_rng(0)
+    # two well-separated modes in 4-d
+    mode_a = rng.normal(size=(100, 4)) * 0.3
+    mode_b = rng.normal(size=(100, 4)) * 0.3 + 8.0
+    real = np.concatenate([mode_a, mode_b])
+
+    # identical sets: both ~1 (every sample is inside its own twin's manifold)
+    p, r = X.precision_recall(real, real.copy())
+    assert p == 1.0 and r == 1.0
+
+    # same distribution, fresh draw: both high
+    gen_same = np.concatenate(
+        [rng.normal(size=(100, 4)) * 0.3, rng.normal(size=(100, 4)) * 0.3 + 8.0]
+    )
+    p, r = X.precision_recall(real, gen_same)
+    assert p > 0.85 and r > 0.85, (p, r)
+
+    # MODE DROPPING: generator only ever produces mode A -> precision stays
+    # high (every sample is realistic), recall collapses to ~the dropped share
+    gen_drop = rng.normal(size=(200, 4)) * 0.3
+    p, r = X.precision_recall(real, gen_drop)
+    assert p > 0.85, p
+    assert 0.3 < r < 0.7, r
+
+    # OFF-MANIFOLD JUNK: half the samples land far from any real data ->
+    # precision ~halves, recall stays high (real modes still covered)
+    junk = rng.normal(size=(100, 4)) * 0.3 - 30.0
+    gen_junk = np.concatenate([gen_same[:50], gen_same[100:150], junk])
+    p, r = X.precision_recall(real, gen_junk)
+    assert 0.3 < p < 0.7, p
+    assert r > 0.85, r
+
+    # far offset: nothing overlaps
+    p, r = X.precision_recall(real, real + 100.0)
+    assert p == 0.0 and r == 0.0
+
+    # scale robustness: one dimension living on a 1000x scale must not
+    # dominate (the real-set standardization) — same oracles hold
+    real_s = real * np.array([1000.0, 1.0, 1.0, 1.0])
+    drop_s = gen_drop * np.array([1000.0, 1.0, 1.0, 1.0])
+    p, r = X.precision_recall(real_s, drop_s)
+    assert p > 0.85 and 0.3 < r < 0.7, (p, r)
+
+
 def test_fd_experiment_runs(session_task, data_dir, tmp_path):
     """fd sweep on a chord-conditioned checkpoint: stats space only, one
     traced-scale executable, noise-floor row present."""
@@ -297,8 +346,9 @@ def test_fd_experiment_runs(session_task, data_dir, tmp_path):
     table = X.EXPERIMENTS["fd"](session, task, args)
     assert set(table) == {"real_split", 0.0, 3.0}
     for row in table.values():
-        assert set(row) == {"fd_stats"}
+        assert set(row) == {"fd_stats", "prec_stats", "rec_stats"}
         assert all(np.isfinite(v) and v >= 0 for v in row.values())
+        assert row["prec_stats"] <= 1.0 and row["rec_stats"] <= 1.0
     assert len(session._paint_cache) == 1
     import os
 
@@ -326,7 +376,10 @@ def test_fd_experiment_emb_space(data_dir, tmp_path):
     )
     table = X.EXPERIMENTS["fd"](session, task, args)
     for row in table.values():
-        assert set(row) == {"fd_stats", "fd_emb"}
+        assert set(row) == {
+            "fd_stats", "prec_stats", "rec_stats",
+            "fd_emb", "prec_emb", "rec_emb",
+        }
         assert all(np.isfinite(v) and v >= 0 for v in row.values())
 
 
